@@ -1,0 +1,456 @@
+"""Lookup (fetch) strategies: exact, ordered first-match regex, union-regex
+substitution — the three modes of the reference
+(/root/reference/lib/logstash/filters/fetch_strategy/memory.rb:4-49).
+
+Spark-first design
+------------------
+Every strategy exposes the same *expression-plane* contract: a Column
+function producing ``struct<matched boolean, value V, key string,
+error string>`` for a scalar key, and an array variant for ``iterate_on``.
+The exact strategy additionally offers a *join-plane* broadcast hash join
+(BroadcastHashJoinExec, whole-stage codegen, no Python) — the default at
+scale; the map-literal expression is used for small dictionaries where a
+plan-embedded literal beats shipping a join.
+
+Regex / union semantics genuinely need per-row regex engines, so they are
+Arrow-vectorized pandas UDFs holding the (pattern, value) table compiled
+once per executor (the reference precompiles per reload —
+fetch_strategy/file.rb:34-40; our analogue is compile-on-first-batch in the
+UDF closure because compiled patterns don't pickle).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+Pairs = Sequence[Tuple[str, Any]]
+
+#: above this many entries the exact strategy switches from a plan-embedded
+#: map literal to a broadcast hash join (join plane)
+MAP_LITERAL_MAX_ENTRIES = 512
+#: above this many patterns the regex strategy switches from a Catalyst
+#: ``when`` chain to the vectorized pandas UDF
+WHEN_CHAIN_MAX_PATTERNS = 0  # default: always use the UDF; chain kept for tiny dicts via option
+
+
+def ruby_to_s(value: Any) -> str:
+    """Ruby-ish ``to_s`` for dictionary values/keys (bool -> true/false,
+    None -> "")."""
+    if value is None:
+        return ""
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
+    return str(value)
+
+
+def infer_value_type(pairs: Pairs) -> Tuple[T.DataType, Callable[[Any], Any], bool]:
+    """Infer a single Spark type for the dictionary's value column.
+
+    Returns (spark_type, python_converter, values_are_json).
+    Homogeneous scalar types map directly (CSV stays string, JSON ints stay
+    long — translate_spec.rb:359-379); heterogeneous or nested values are
+    carried as JSON strings (documented deviation: the reference's events are
+    schemaless, a Spark column has one type — SURVEY.md §1.2).
+    """
+    kinds = set()
+    for _, v in pairs:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif isinstance(v, str):
+            kinds.add("str")
+        else:
+            kinds.add("nested")
+    if not kinds or kinds == {"str"}:
+        return T.StringType(), lambda v: v, False
+    if kinds == {"bool"}:
+        return T.BooleanType(), lambda v: v, False
+    if kinds == {"int"}:
+        return T.LongType(), lambda v: v, False
+    if kinds <= {"int", "float"}:
+        return T.DoubleType(), lambda v: float(v) if v is not None else None, False
+    return (
+        T.StringType(),
+        lambda v: json.dumps(v, ensure_ascii=False) if v is not None else None,
+        True,
+    )
+
+
+def lookup_result_type(value_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("matched", T.BooleanType()),
+            T.StructField("value", value_type),
+            T.StructField("key", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+
+
+class LookupStrategy:
+    """Base contract. ``value_type``/``values_are_json`` describe the value
+    column; ``expr``/``expr_array`` are the expression plane."""
+
+    value_type: T.DataType
+    values_are_json: bool
+    mode: str
+
+    def expr(self, key: Column) -> Column:
+        raise NotImplementedError
+
+    def expr_array(self, arr: Column) -> Column:
+        raise NotImplementedError
+
+    #: strategies backed by a broadcast join instead of an expression
+    expression_capable: bool = True
+
+
+# ---------------------------------------------------------------------------
+# O1 — exact match
+# ---------------------------------------------------------------------------
+
+class ExactMapLiteral(LookupStrategy):
+    """Exact hash probe as a plan-embedded ``map`` literal — Catalyst
+    evaluates ``element_at`` / ``map_contains_key`` in codegen; zero Python.
+    (fetch_strategy/memory.rb:4-16)."""
+
+    mode = "exact"
+    expression_capable = True
+
+    def __init__(self, pairs: Pairs):
+        self.value_type, conv, self.values_are_json = infer_value_type(pairs)
+        entries: List[Column] = []
+        # last occurrence wins, like Hash#[]= on duplicate keys
+        dedup = {str(k): conv(v) for k, v in pairs}
+        for k, v in dedup.items():
+            entries.append(F.lit(k))
+            entries.append(
+                F.lit(v).cast(self.value_type) if v is not None else F.lit(None).cast(self.value_type)
+            )
+        self._empty = not entries
+        self._map = F.create_map(*entries) if entries else None
+
+    def _probe(self, key: Column) -> Tuple[Column, Column]:
+        if self._empty:
+            return F.lit(False), F.lit(None).cast(self.value_type)
+        matched = F.when(
+            key.isNotNull(), F.map_contains_key(self._map, key)
+        ).otherwise(F.lit(False))
+        return matched, F.element_at(self._map, F.coalesce(key, F.lit("")))
+
+    def expr(self, key: Column) -> Column:
+        matched, value = self._probe(key)
+        return F.struct(
+            matched.alias("matched"),
+            F.when(matched, value).alias("value"),
+            F.when(matched, key).alias("key"),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+    def expr_array(self, arr: Column) -> Column:
+        return F.transform(arr, lambda x: self.expr(x.cast("string")))
+
+
+class ExactBroadcastJoin(LookupStrategy):
+    """Exact probe as a broadcast hash join — the at-scale plane.
+
+    The dictionary becomes a 2-column DataFrame broadcast to every executor
+    (BroadcastHashJoinExec; no shuffle of the probe side, no skew exposure —
+    hot keys cost nothing extra because the build side is replicated).
+    """
+
+    mode = "exact"
+    expression_capable = False
+
+    def __init__(self, spark, pairs: Pairs):
+        self.value_type, conv, self.values_are_json = infer_value_type(pairs)
+        dedup = {str(k): conv(v) for k, v in pairs}
+        schema = T.StructType(
+            [
+                T.StructField("__lfts_k", T.StringType(), False),
+                T.StructField("__lfts_v", self.value_type, True),
+            ]
+        )
+        self.dict_df = spark.createDataFrame(
+            [(k, v) for k, v in dedup.items()], schema=schema
+        )
+
+    def join(self, df: DataFrame, key: Column, result_col: str) -> DataFrame:
+        """Left-outer broadcast join; appends ``result_col`` with the uniform
+        lookup struct. Misses survive for the fallback path (O8)."""
+        probe = df.withColumn("__lfts_key", key)
+        joined = probe.join(
+            F.broadcast(self.dict_df),
+            probe["__lfts_key"].eqNullSafe(self.dict_df["__lfts_k"]),
+            "left",
+        )
+        matched = joined["__lfts_k"].isNotNull()
+        return joined.withColumn(
+            result_col,
+            F.struct(
+                matched.alias("matched"),
+                F.when(matched, joined["__lfts_v"]).alias("value"),
+                F.when(matched, joined["__lfts_key"]).alias("key"),
+                F.lit(None).cast("string").alias("error"),
+            ),
+        ).drop("__lfts_k", "__lfts_v", "__lfts_key")
+
+
+# ---------------------------------------------------------------------------
+# O2 — ordered first-match regex
+# ---------------------------------------------------------------------------
+
+class RegexFirstMatch(LookupStrategy):
+    """Probe each dictionary key as a regex **in insertion order**, first
+    unanchored match wins (fetch_strategy/memory.rb:18-33: ordered ``detect``
+    + ``source.match``). Arrow-vectorized pandas UDF; patterns are shipped as
+    strings and compiled once per executor on first batch.
+    """
+
+    mode = "regex"
+
+    def __init__(self, pairs: Pairs, dialect: str = "python"):
+        self.value_type, conv, self.values_are_json = infer_value_type(pairs)
+        self._table: List[Tuple[str, Any]] = [(str(k), conv(v)) for k, v in pairs]
+        # fail fast at plan time on invalid patterns (reference raises at
+        # register when compiling — fetch_strategy/memory.rb:22)
+        for k, _ in self._table:
+            re.compile(k)
+        self._result_type = lookup_result_type(self.value_type)
+        self._scalar_udf = self._build_udf(array=False)
+        self._array_udf = self._build_udf(array=True)
+
+    def _build_udf(self, array: bool):
+        table = self._table
+        result_type = self._result_type
+        ret = T.ArrayType(result_type) if array else result_type
+
+        def lookup_one(s, compiled):
+            if s is None:
+                return {"matched": False, "value": None, "key": None, "error": None}
+            try:
+                for pat, raw_key, val in compiled:
+                    if pat.search(s):
+                        return {
+                            "matched": True,
+                            "value": val,
+                            "key": raw_key,
+                            "error": None,
+                        }
+                return {"matched": False, "value": None, "key": None, "error": None}
+            except Exception as exc:  # error containment (translate.rb:266-270)
+                return {
+                    "matched": False,
+                    "value": None,
+                    "key": None,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+
+        if array:
+
+            @pandas_udf(ret)
+            def udf(col: pd.Series) -> pd.Series:
+                compiled = [(re.compile(k), k, v) for k, v in table]
+                out = []
+                for arr in col:
+                    if arr is None:
+                        out.append(None)
+                    else:
+                        out.append(
+                            [
+                                lookup_one(
+                                    None if x is None else str(x), compiled
+                                )
+                                for x in arr
+                            ]
+                        )
+                return pd.Series(out)
+
+        else:
+
+            @pandas_udf(ret)
+            def udf(col: pd.Series) -> pd.DataFrame:
+                compiled = [(re.compile(k), k, v) for k, v in table]
+                rows = [lookup_one(s, compiled) for s in col]
+                return pd.DataFrame(rows)
+
+        return udf
+
+    def expr(self, key: Column) -> Column:
+        return self._scalar_udf(key)
+
+    def expr_array(self, arr: Column) -> Column:
+        return self._array_udf(arr)
+
+    def when_chain_expr(self, key: Column) -> Column:
+        """Pure-Catalyst alternative for small dictionaries: an ordered
+        ``coalesce(when(rlike ...))`` chain — key order becomes ``when``
+        order. Java regex dialect; kept for plans that must stay
+        codegen-only."""
+        conv_type = self.value_type
+        miss = F.struct(
+            F.lit(False).alias("matched"),
+            F.lit(None).cast(conv_type).alias("value"),
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("error"),
+        )
+        result = miss
+        for k, v in reversed(self._table):
+            hit = F.struct(
+                F.lit(True).alias("matched"),
+                F.lit(v).cast(conv_type).alias("value"),
+                F.lit(k).alias("key"),
+                F.lit(None).cast("string").alias("error"),
+            )
+            result = F.when(key.isNotNull() & key.rlike(k), hit).otherwise(result)
+        return result
+
+
+# ---------------------------------------------------------------------------
+# O3 — union-regex substitution
+# ---------------------------------------------------------------------------
+
+class UnionSubstitution(LookupStrategy):
+    """``gsub(Regexp.union(keys), dict)``: single-pass replacement of every
+    occurrence of every (literal-escaped) key, alternation in insertion
+    order; miss ⇔ output == input (fetch_strategy/memory.rb:35-49).
+    Values are coerced to strings (substitution into a string)."""
+
+    mode = "union"
+
+    def __init__(self, pairs: Pairs):
+        self.value_type = T.StringType()
+        self.values_are_json = False
+        self._table: List[Tuple[str, str]] = [
+            (str(k), ruby_to_s(v)) for k, v in pairs
+        ]
+        self._result_type = lookup_result_type(T.StringType())
+        self._scalar_udf = self._build_udf(array=False)
+        self._array_udf = self._build_udf(array=True)
+
+    def _build_udf(self, array: bool):
+        table = self._table
+        ret = T.ArrayType(self._result_type) if array else self._result_type
+
+        def build_pattern():
+            if not table:
+                return None, {}
+            mapping = dict(table)
+            pat = re.compile("|".join(re.escape(k) for k, _ in table))
+            return pat, mapping
+
+        def sub_one(s, pat, mapping):
+            if s is None:
+                return {"matched": False, "value": None, "key": None, "error": None}
+            try:
+                if pat is None:
+                    return {
+                        "matched": False,
+                        "value": None,
+                        "key": None,
+                        "error": None,
+                    }
+                first_key = [None]
+
+                def repl(m):
+                    if first_key[0] is None:
+                        first_key[0] = m.group(0)
+                    return mapping[m.group(0)]
+
+                out = pat.sub(repl, s)
+                if out == s:  # miss ⇔ unchanged (memory.rb:43-44)
+                    return {
+                        "matched": False,
+                        "value": None,
+                        "key": None,
+                        "error": None,
+                    }
+                return {
+                    "matched": True,
+                    "value": out,
+                    "key": first_key[0],
+                    "error": None,
+                }
+            except Exception as exc:
+                return {
+                    "matched": False,
+                    "value": None,
+                    "key": None,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+
+        if array:
+
+            @pandas_udf(ret)
+            def udf(col: pd.Series) -> pd.Series:
+                pat, mapping = build_pattern()
+                out = []
+                for arr in col:
+                    if arr is None:
+                        out.append(None)
+                    else:
+                        out.append(
+                            [
+                                sub_one(
+                                    None if x is None else str(x), pat, mapping
+                                )
+                                for x in arr
+                            ]
+                        )
+                return pd.Series(out)
+
+        else:
+
+            @pandas_udf(ret)
+            def udf(col: pd.Series) -> pd.DataFrame:
+                pat, mapping = build_pattern()
+                rows = [sub_one(s, pat, mapping) for s in col]
+                return pd.DataFrame(rows)
+
+        return udf
+
+    def expr(self, key: Column) -> Column:
+        return self._scalar_udf(key)
+
+    def expr_array(self, arr: Column) -> Column:
+        return self._array_udf(arr)
+
+
+def build_strategy(
+    mode: str,
+    pairs: Pairs,
+    spark=None,
+    exact_join_threshold: int = MAP_LITERAL_MAX_ENTRIES,
+    force_join: bool = False,
+) -> LookupStrategy:
+    """Pick the physical strategy for a logical mode.
+
+    exact: map literal below ``exact_join_threshold`` entries, broadcast
+    hash join above (or when ``force_join``). regex/union: vectorized UDFs.
+    """
+    if mode == "exact":
+        if force_join or (len(pairs) > exact_join_threshold and spark is not None):
+            if spark is None:
+                raise ValueError("broadcast-join strategy needs a SparkSession")
+            return ExactBroadcastJoin(spark, pairs)
+        return ExactMapLiteral(pairs)
+    if mode == "regex":
+        return RegexFirstMatch(pairs)
+    if mode == "union":
+        return UnionSubstitution(pairs)
+    raise ValueError(f"unknown lookup mode {mode!r}")

@@ -1,0 +1,431 @@
+"""The Translate operator: dictionary-lookup enrichment over a DataFrame.
+
+This is the Spark-native re-expression of the reference plugin's whole
+filter lifecycle (/root/reference/lib/logstash/filters/translate.rb:183-271):
+``register`` becomes plan construction (this module, driver-side),
+``filter(event)`` becomes a single Catalyst projection (plus an Arrow batch
+through a pandas UDF for the regex modes) — no per-event control flow
+survives.
+
+Updater shapes (translate.rb:244-250):
+  - iterate_on is None                → single-value update    (O4,
+    single_value_update.rb:33-47)
+  - iterate_on == source              → array-of-values update (O5,
+    array_of_values_update.rb:29-45)
+  - iterate_on != source              → array-of-maps update   (O6,
+    array_of_maps_value_update.rb:18-38)
+
+Route vocabulary (O9, the ``filter_matched`` signal generalized to fan-out
+sinks): ``matched`` | ``fallback`` | ``unmatched`` | ``failed`` | ``skipped``.
+The reference's boolean "matched" signal is ``route IN (matched, fallback)``
+(fallback sets matched=true — single_value_update.rb:42-45).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import TranslateConfig
+from ..functions.templates import compile_sprintf
+from ..sources.dictionary import DictionaryFile
+from .lookup import (
+    ExactBroadcastJoin,
+    LookupStrategy,
+    build_strategy,
+)
+
+ROUTE_MATCHED = "matched"
+ROUTE_FALLBACK = "fallback"
+ROUTE_UNMATCHED = "unmatched"
+ROUTE_FAILED = "failed"
+ROUTE_SKIPPED = "skipped"
+
+_RES = "__lfts_res"
+_ID = "__lfts_row_id"
+
+
+class Translate:
+    """Plan-time object wiring (dictionary source, lookup strategy, updater)
+    — the analogue of the reference's three strategy objects (SURVEY.md §3
+    EP1).
+
+    Parameters
+    ----------
+    config : validated at construction (register-time errors).
+    spark : needed only for the broadcast-join plane.
+    physical : None (auto) | 'expr' | 'join' — force the exact-match physical
+        strategy; 'join' is the at-scale default for big dictionaries.
+    """
+
+    def __init__(
+        self,
+        config: TranslateConfig,
+        spark: Optional[SparkSession] = None,
+        physical: Optional[str] = None,
+    ):
+        self.config = config.validate()
+        self.spark = spark
+        self._dict_file: Optional[DictionaryFile] = None
+        if config.dictionary_path is not None:
+            self._dict_file = DictionaryFile(
+                config.dictionary_path,
+                refresh_behaviour=config.refresh_behaviour,
+                refresh_interval=config.refresh_interval,
+                yaml_code_point_limit=(
+                    config.yaml_dictionary_code_point_limit
+                    if config.yaml_dictionary_code_point_limit is not None
+                    else config.effective_yaml_code_point_limit()
+                ),
+                yaml_load_strategy=config.yaml_load_strategy,
+            )
+        self._physical = physical
+        self.strategy: LookupStrategy = self._build_strategy()
+
+    # -- dictionary ---------------------------------------------------------
+    def _pairs(self):
+        if self._dict_file is not None:
+            return self._dict_file.pairs
+        d = self.config.dictionary or {}
+        return list(d.items()) if hasattr(d, "items") else list(d)
+
+    def _build_strategy(self) -> LookupStrategy:
+        pairs = self._pairs()
+        if self._physical == "expr" and self.config.mode == "exact":
+            return build_strategy("exact", pairs, exact_join_threshold=len(pairs) + 1)
+        return build_strategy(
+            self.config.mode,
+            pairs,
+            spark=self.spark,
+            force_join=self._physical == "join" and self.config.mode == "exact",
+        )
+
+    def refresh(self, force: bool = False) -> bool:
+        """R1-R7: driver-side reload + strategy rebuild. Returns True when
+        the dictionary changed (callers re-plan / re-broadcast). The swap is
+        atomic per batch — Spark's broadcast replaces the reference's
+        ReentrantReadWriteLock (dictionary/file.rb:38-39)."""
+        if self._dict_file is None:
+            return False
+        changed = self._dict_file.reload(force=force)
+        if changed:
+            self.strategy = self._build_strategy()
+        return changed
+
+    # -- application --------------------------------------------------------
+    def apply(
+        self,
+        df: DataFrame,
+        route_col: str = "route",
+        matched_key_col: Optional[str] = None,
+    ) -> DataFrame:
+        cfg = self.config
+        if cfg.iterate_on is None:
+            return self._apply_single(df, route_col, matched_key_col)
+        if cfg.iterate_on == cfg.resolved_source:
+            return self._apply_array_of_values(df, route_col)
+        return self._apply_array_of_maps(df, route_col)
+
+    # -- helpers -------------------------------------------------------------
+    def _coerce_single_key(self, df: DataFrame) -> Column:
+        """String-coerce the probe value: arrays use their first element
+        (single_value_update.rb:5-13)."""
+        src = self.config.resolved_source
+        dtype = dict(df.dtypes).get(src)
+        col = F.col(src)
+        if dtype is not None and dtype.startswith("array"):
+            col = F.element_at(col, 1)
+        return col.cast("string")
+
+    def _skip_gate(self, df: DataFrame) -> Column:
+        """O7 override gate: target exists (non-NULL) and override disabled →
+        skip (single_value_update.rb:27-31). In-place forces override."""
+        cfg = self.config
+        if cfg.resolved_override or cfg.resolved_target not in df.columns:
+            return F.lit(False)
+        return F.col(cfg.resolved_target).isNotNull()
+
+    def _fallback_expr(self, df: DataFrame) -> Optional[Column]:
+        if self.config.fallback is None:
+            return None
+        return compile_sprintf(self.config.fallback, columns=df.columns)
+
+    def _out_type(self) -> T.DataType:
+        """Target column type: the dictionary's value type, widened to string
+        when a (string) fallback can also land there (SURVEY.md §7)."""
+        vt = self.strategy.value_type
+        if self.config.fallback is not None and not isinstance(vt, T.StringType):
+            return T.StringType()
+        return vt
+
+    # -- O4: single-value ----------------------------------------------------
+    def _apply_single(
+        self,
+        df: DataFrame,
+        route_col: str,
+        matched_key_col: Optional[str],
+    ) -> DataFrame:
+        cfg = self.config
+        key = self._coerce_single_key(df)
+        skip = self._skip_gate(df)
+
+        if isinstance(self.strategy, ExactBroadcastJoin):
+            df = self.strategy.join(df, key, _RES)
+            res = F.col(_RES)
+        else:
+            res = self.strategy.expr(key)
+            df = df.withColumn(_RES, res)
+            res = F.col(_RES)
+
+        out_type = self._out_type()
+        existing = (
+            F.col(cfg.resolved_target).cast(out_type)
+            if cfg.resolved_target in df.columns and cfg.resolved_target != _RES
+            else F.lit(None).cast(out_type)
+        )
+        fb = self._fallback_expr(df)
+
+        translated = F.when(skip, existing).when(
+            res["matched"], res["value"].cast(out_type)
+        )
+        if fb is not None:
+            translated = translated.when(
+                ~res["matched"] & res["error"].isNull(), fb.cast(out_type)
+            )
+        translated = translated.otherwise(existing)
+
+        route = (
+            F.when(skip, F.lit(ROUTE_SKIPPED))
+            .when(res["error"].isNotNull(), F.lit(ROUTE_FAILED))
+            .when(res["matched"], F.lit(ROUTE_MATCHED))
+        )
+        if fb is not None:
+            route = route.otherwise(F.lit(ROUTE_FALLBACK))
+        else:
+            route = route.otherwise(F.lit(ROUTE_UNMATCHED))
+
+        out = df.withColumn(cfg.resolved_target, translated).withColumn(
+            route_col, route
+        )
+        if matched_key_col is not None:
+            out = out.withColumn(
+                matched_key_col, F.when(res["matched"], res["key"])
+            )
+        return out.drop(_RES)
+
+    # -- O5: array-of-values --------------------------------------------------
+    def _apply_array_of_values(self, df: DataFrame, route_col: str) -> DataFrame:
+        """iterate_on == source: per-element lookup, ordinal-preserving,
+        fallback prefilled at every miss position, target always written
+        (array_of_values_update.rb:29-45)."""
+        cfg = self.config
+        src = F.col(cfg.resolved_source)
+        dtype = dict(df.dtypes).get(cfg.resolved_source, "string")
+        if dtype.startswith("array"):
+            arr = F.coalesce(src, F.array().cast(dtype))
+        else:
+            # CoerceOther: Array(x); Array(nil) == []
+            arr = F.when(src.isNull(), F.array().cast("array<string>")).otherwise(
+                F.array(src.cast("string"))
+            )
+        arr_str = F.transform(arr, lambda x: x.cast("string"))
+        skip = self._skip_gate(df)
+
+        if isinstance(self.strategy, ExactBroadcastJoin):
+            return self._array_of_values_via_explode(df, arr_str, route_col)
+
+        res_arr = self.strategy.expr_array(arr_str)
+        df = df.withColumn(_RES, res_arr)
+        res_arr = F.col(_RES)
+
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+        fb_elem = fb.cast(out_type) if fb is not None else F.lit(None).cast(out_type)
+
+        target_arr = F.transform(
+            res_arr,
+            lambda s: F.when(s["matched"], s["value"].cast(out_type)).otherwise(
+                fb_elem
+            ),
+        )
+        matched_any = F.exists(res_arr, lambda s: s["matched"])
+        any_error = F.exists(res_arr, lambda s: s["error"].isNotNull())
+
+        existing_t = (
+            F.col(cfg.resolved_target)
+            if cfg.resolved_target in df.columns and cfg.resolved_target != _RES
+            else F.lit(None).cast(T.ArrayType(out_type))
+        )
+        # target always written unless the O7 gate skipped the row
+        translated = F.when(skip, existing_t.cast(T.ArrayType(out_type))).otherwise(
+            target_arr
+        )
+
+        route = (
+            F.when(skip, F.lit(ROUTE_SKIPPED))
+            .when(any_error, F.lit(ROUTE_FAILED))
+            .when(matched_any, F.lit(ROUTE_MATCHED))
+            .when(
+                F.lit(fb is not None) & (F.size(arr_str) > 0), F.lit(ROUTE_FALLBACK)
+            )
+            .otherwise(F.lit(ROUTE_UNMATCHED))
+        )
+        return (
+            df.withColumn(cfg.resolved_target, translated)
+            .withColumn(route_col, route)
+            .drop(_RES)
+        )
+
+    def _array_of_values_via_explode(
+        self, df: DataFrame, arr_str: Column, route_col: str
+    ) -> DataFrame:
+        """At-scale plane for O5 with a big dictionary: posexplode →
+        broadcast hash join → collect_list(struct(pos, val)) → array_sort —
+        ordinals restored by position, not by shuffle luck (the north-star's
+        explode+join+collect_list pipeline).
+
+        Row identity uses monotonically_increasing_id computed once before
+        the self-join; the input must be a deterministic scan (parquet/
+        Iceberg), which holds for our sources.
+        """
+        cfg = self.config
+        assert isinstance(self.strategy, ExactBroadcastJoin)
+        dict_df = self.strategy.dict_df
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+        fb_elem = fb.cast(out_type) if fb is not None else F.lit(None).cast(out_type)
+        skip = self._skip_gate(df)
+
+        base = df.withColumn(_ID, F.monotonically_increasing_id()).withColumn(
+            "__lfts_arr", arr_str
+        )
+        ex = base.select(
+            _ID, F.posexplode("__lfts_arr").alias("__lfts_pos", "__lfts_elem")
+        )
+        probed = ex.join(
+            F.broadcast(dict_df),
+            ex["__lfts_elem"].eqNullSafe(dict_df["__lfts_k"]),
+            "left",
+        )
+        agg = probed.groupBy(_ID).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__lfts_pos").alias("pos"),
+                        F.col("__lfts_k").isNotNull().alias("matched"),
+                        F.col("__lfts_v").alias("value"),
+                    )
+                )
+            ).alias("__lfts_sorted")
+        )
+        joined = base.join(agg, _ID, "left")
+        res_arr = F.coalesce(
+            F.col("__lfts_sorted"),
+            F.array().cast(
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("pos", T.IntegerType()),
+                            T.StructField("matched", T.BooleanType()),
+                            T.StructField("value", self.strategy.value_type),
+                        ]
+                    )
+                )
+            ),
+        )
+        target_arr = F.transform(
+            res_arr,
+            lambda s: F.when(s["matched"], s["value"].cast(out_type)).otherwise(
+                fb_elem
+            ),
+        )
+        matched_any = F.exists(res_arr, lambda s: s["matched"])
+        existing_t = (
+            F.col(cfg.resolved_target)
+            if cfg.resolved_target in df.columns
+            else F.lit(None).cast(T.ArrayType(out_type))
+        )
+        translated = F.when(skip, existing_t.cast(T.ArrayType(out_type))).otherwise(
+            target_arr
+        )
+        route = (
+            F.when(skip, F.lit(ROUTE_SKIPPED))
+            .when(matched_any, F.lit(ROUTE_MATCHED))
+            .when(
+                F.lit(fb is not None) & (F.size(F.col("__lfts_arr")) > 0),
+                F.lit(ROUTE_FALLBACK),
+            )
+            .otherwise(F.lit(ROUTE_UNMATCHED))
+        )
+        return (
+            joined.withColumn(cfg.resolved_target, translated)
+            .withColumn(route_col, route)
+            .drop(_ID, "__lfts_arr", "__lfts_sorted")
+        )
+
+    # -- O6: array-of-maps -----------------------------------------------------
+    def _apply_array_of_maps(self, df: DataFrame, route_col: str) -> DataFrame:
+        """iterate_on != source: for each struct element, look up
+        ``elem[source]`` and write ``elem[target]``; nil elements/values are
+        skipped; fallback writes count as matched; NO override gate
+        (array_of_maps_value_update.rb:14-38)."""
+        cfg = self.config
+        arr = F.col(cfg.iterate_on)
+        keys = F.transform(arr, lambda m: m.getField(cfg.resolved_source).cast("string"))
+        res_arr = self.strategy.expr_array(keys)
+        df = df.withColumn(_RES, res_arr)
+        res_arr = F.col(_RES)
+
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+
+        def update_elem(m: Column, s: Column) -> Column:
+            inner = m.getField(cfg.resolved_source)
+            value = F.when(s["matched"], s["value"].cast(out_type))
+            if fb is not None:
+                value = value.when(s["error"].isNull(), fb.cast(out_type))
+            updated = m.withField(cfg.resolved_target, value)
+            return F.when(m.isNull() | inner.isNull(), m.withField(
+                cfg.resolved_target, F.lit(None).cast(out_type)
+            )).otherwise(updated)
+
+        updated_arr = F.zip_with(F.col(cfg.iterate_on), res_arr, update_elem)
+
+        def elem_matched(m: Column, s: Column) -> Column:
+            inner = m.getField(cfg.resolved_source)
+            hit = s["matched"] | F.lit(fb is not None)
+            return F.when(m.isNull() | inner.isNull(), F.lit(False)).otherwise(hit)
+
+        matched_any = F.exists(
+            F.zip_with(F.col(cfg.iterate_on), res_arr, elem_matched), lambda b: b
+        )
+        any_error = F.exists(res_arr, lambda s: s["error"].isNotNull())
+
+        route = (
+            F.when(F.col(cfg.iterate_on).isNull(), F.lit(ROUTE_UNMATCHED))
+            .when(any_error, F.lit(ROUTE_FAILED))
+            .when(matched_any, F.lit(ROUTE_MATCHED))
+            .otherwise(F.lit(ROUTE_UNMATCHED))
+        )
+        return (
+            df.withColumn(cfg.iterate_on, updated_arr)
+            .withColumn(route_col, route)
+            .drop(_RES)
+        )
+
+
+def translate(
+    df: DataFrame,
+    spark: Optional[SparkSession] = None,
+    route_col: str = "route",
+    matched_key_col: Optional[str] = None,
+    physical: Optional[str] = None,
+    **config_kwargs,
+) -> DataFrame:
+    """Functional convenience: ``translate(df, source=..., dictionary=...)``."""
+    cfg = TranslateConfig(**config_kwargs)
+    op = Translate(cfg, spark=spark or df.sparkSession, physical=physical)
+    return op.apply(df, route_col=route_col, matched_key_col=matched_key_col)
