@@ -46,6 +46,7 @@ ROUTE_SKIPPED = "skipped"
 
 _RES = "__lfts_res"
 _ID = "__lfts_row_id"
+_SKIP = "__lfts_skip"
 
 
 class Translate:
@@ -170,7 +171,10 @@ class Translate:
     ) -> DataFrame:
         cfg = self.config
         key = self._coerce_single_key(df)
-        skip = self._skip_gate(df)
+        # materialize the gate BEFORE the target column is overwritten —
+        # later expressions must see the ORIGINAL target
+        df = df.withColumn(_SKIP, self._skip_gate(df))
+        skip = F.col(_SKIP)
 
         if isinstance(self.strategy, ExactBroadcastJoin):
             df = self.strategy.join(df, key, _RES)
@@ -214,7 +218,7 @@ class Translate:
             out = out.withColumn(
                 matched_key_col, F.when(res["matched"], res["key"])
             )
-        return out.drop(_RES)
+        return out.drop(_RES, _SKIP)
 
     # -- O5: array-of-values --------------------------------------------------
     def _apply_array_of_values(self, df: DataFrame, route_col: str) -> DataFrame:
@@ -232,11 +236,12 @@ class Translate:
                 F.array(src.cast("string"))
             )
         arr_str = F.transform(arr, lambda x: x.cast("string"))
-        skip = self._skip_gate(df)
 
         if isinstance(self.strategy, ExactBroadcastJoin):
             return self._array_of_values_via_explode(df, arr_str, route_col)
 
+        df = df.withColumn(_SKIP, self._skip_gate(df))
+        skip = F.col(_SKIP)
         res_arr = self.strategy.expr_array(arr_str)
         df = df.withColumn(_RES, res_arr)
         res_arr = F.col(_RES)
@@ -276,7 +281,7 @@ class Translate:
         return (
             df.withColumn(cfg.resolved_target, translated)
             .withColumn(route_col, route)
-            .drop(_RES)
+            .drop(_RES, _SKIP)
         )
 
     def _array_of_values_via_explode(
@@ -297,11 +302,13 @@ class Translate:
         out_type = self._out_type()
         fb = self._fallback_expr(df)
         fb_elem = fb.cast(out_type) if fb is not None else F.lit(None).cast(out_type)
-        skip = self._skip_gate(df)
 
-        base = df.withColumn(_ID, F.monotonically_increasing_id()).withColumn(
-            "__lfts_arr", arr_str
+        base = (
+            df.withColumn(_SKIP, self._skip_gate(df))
+            .withColumn(_ID, F.monotonically_increasing_id())
+            .withColumn("__lfts_arr", arr_str)
         )
+        skip = F.col(_SKIP)
         ex = base.select(
             _ID, F.posexplode("__lfts_arr").alias("__lfts_pos", "__lfts_elem")
         )
@@ -363,7 +370,7 @@ class Translate:
         return (
             joined.withColumn(cfg.resolved_target, translated)
             .withColumn(route_col, route)
-            .drop(_ID, "__lfts_arr", "__lfts_sorted")
+            .drop(_ID, _SKIP, "__lfts_arr", "__lfts_sorted")
         )
 
     # -- O6: array-of-maps -----------------------------------------------------
