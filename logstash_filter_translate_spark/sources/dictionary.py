@@ -137,8 +137,30 @@ def load_yaml(
         # tests, mirroring translate_spec.rb:242-255)
     try:
         data = yaml.safe_load(content)
+    except yaml.constructor.ConstructorError:
+        # `!!omap { ... }` in flow-mapping style (supported by the reference's
+        # Psych visitor for both !!map and !!omap — yaml_visitor.rb:13-40,
+        # translate_spec.rb:337-357): PyYAML's omap constructor wants a
+        # sequence; an omap-tagged mapping is semantically a map here because
+        # Python dicts preserve insertion order.
+        try:
+            data = yaml.safe_load(content.replace("!!omap", "!!map", 1))
+        except yaml.YAMLError as exc:
+            raise DictionaryLoadError(f"{path}: invalid YAML dictionary: {exc}")
     except yaml.YAMLError as exc:
         raise DictionaryLoadError(f"{path}: invalid YAML dictionary: {exc}")
+    if isinstance(data, list):  # block-style !!omap → list of 1-entry dicts
+        flat: Pairs = []
+        for item in data:
+            if isinstance(item, dict):
+                flat.extend((str(k), v) for k, v in item.items())
+            elif isinstance(item, (list, tuple)) and len(item) == 2:
+                flat.append((str(item[0]), item[1]))
+            else:
+                raise DictionaryLoadError(
+                    f"{path}: YAML dictionary must be a top-level mapping"
+                )
+        return flat
     if data is None:
         return []
     if not isinstance(data, dict):

@@ -1,0 +1,104 @@
+"""SURVEY.md §5 case 12 + §2.3 R1-R7: dictionary refresh semantics
+(translate_spec.rb:559-626, scheduling_spec.rb, dictionary/file.rb:81-125)."""
+
+import os
+import time
+
+import pytest
+
+from logstash_filter_translate_spark import (
+    DictionaryFile,
+    DictionaryLoadError,
+    ROUTE_FALLBACK,
+    Translate,
+    TranslateConfig,
+)
+
+
+def _write(path, text):
+    with open(path, "w") as fh:
+        fh.write(text)
+    # ensure mtime actually changes between writes
+    st = os.stat(path)
+    os.utime(path, (st.st_atime, st.st_mtime + 2))
+
+
+@pytest.fixture
+def dict_path(tmp_path):
+    p = tmp_path / "refresh.csv"
+    _write(str(p), "a,1\nb,2\nc,3\n")
+    return str(p)
+
+
+def test_merge_keeps_deleted_keys(dict_path):
+    # v2 drops 'c'; merge retains it (translate_spec.rb:587-605)
+    d = DictionaryFile(dict_path, refresh_behaviour="merge")
+    assert d.as_dict() == {"a": "1", "b": "2", "c": "3"}
+    _write(dict_path, "a,11\nb,12\n")
+    assert d.reload() is True
+    assert d.as_dict() == {"a": "11", "b": "12", "c": "3"}
+
+
+def test_replace_drops_deleted_keys(dict_path):
+    # replace drops 'c' → misses fall back (translate_spec.rb:607-625)
+    d = DictionaryFile(dict_path, refresh_behaviour="replace")
+    _write(dict_path, "a,11\nb,12\n")
+    assert d.reload() is True
+    assert d.as_dict() == {"a": "11", "b": "12"}
+
+
+def test_mtime_short_circuit_skips_unchanged_file(dict_path):
+    d = DictionaryFile(dict_path, refresh_interval=60)
+    assert d.reload() is False  # mtime unchanged → no reload (file.rb:112-114)
+    assert d.version == 1
+
+
+def test_reload_error_keeps_previous_dictionary(tmp_path):
+    p = tmp_path / "d.yml"
+    _write(str(p), "a: 1\n")
+    d = DictionaryFile(str(p))
+    _write(str(p), "foo: bad: colon: here\n")
+    assert d.reload() is False  # warn & keep (file.rb:116-125)
+    assert d.as_dict() == {"a": 1}
+
+
+def test_first_load_error_raises(tmp_path):
+    p = tmp_path / "d.yml"
+    _write(str(p), "foo: bad: colon: here\n")
+    with pytest.raises(DictionaryLoadError):
+        DictionaryFile(str(p))
+
+
+def test_missing_file_raises_at_register(tmp_path):
+    with pytest.raises(DictionaryLoadError, match="not found"):
+        DictionaryFile(str(tmp_path / "nope.csv"))
+
+
+def test_translate_refresh_swaps_strategy(spark, dict_path):
+    """Full broadcast-swap protocol: reload between batches changes results
+    (the Spark analogue of scheduling_spec.rb:45-105)."""
+    df = spark.createDataFrame([("a",), ("c",)], "k string")
+    op = Translate(
+        TranslateConfig(
+            source="k",
+            dictionary_path=dict_path,
+            fallback="fb",
+            refresh_behaviour="replace",
+        ),
+        spark=spark,
+    )
+    first = {r["k"]: r["translation"] for r in op.apply(df).collect()}
+    assert first == {"a": "1", "c": "3"}
+
+    _write(dict_path, "a,111\n")
+    assert op.refresh() is True
+    second = {r["k"]: (r["translation"], r["route"]) for r in op.apply(df).collect()}
+    assert second["a"] == ("111", "matched")
+    assert second["c"] == ("fb", ROUTE_FALLBACK)  # dropped key falls back
+
+
+def test_refresh_noop_without_change(spark, dict_path):
+    op = Translate(
+        TranslateConfig(source="k", dictionary_path=dict_path), spark=spark
+    )
+    assert op.refresh() is False

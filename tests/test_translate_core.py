@@ -1,0 +1,302 @@
+"""Behavioral goldens ported from the reference's RSpec suite
+(/root/reference/spec/filters/translate_spec.rb) — SURVEY.md §5 cases 1-7,
+10, 13-15. Each test names its spec citation."""
+
+import json
+
+import pytest
+
+from logstash_filter_translate_spark import (
+    ROUTE_FALLBACK,
+    ROUTE_MATCHED,
+    ROUTE_SKIPPED,
+    ROUTE_UNMATCHED,
+    Translate,
+    TranslateConfig,
+    translate,
+)
+
+
+def one(df, col="translation"):
+    rows = df.collect()
+    assert len(rows) == 1
+    return rows[0][col], rows[0]["route"]
+
+
+# -- case 1: exact with int coercion (translate_spec.rb:25-47) --------------
+def test_exact_int_source_matches_string_key(spark):
+    df = spark.createDataFrame([(200,)], "status int")
+    out = translate(
+        df,
+        source="status",
+        target="translation",
+        dictionary={"200": "OK", "300": "Redirect"},
+        exact=True,
+        regex=False,
+    )
+    val, route = one(out)
+    assert val == "OK" and route == ROUTE_MATCHED
+
+
+# -- case 2: regex keys without regex mode → no match (spec :49-71) ---------
+def test_regex_keys_without_regex_mode_do_not_match(spark):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df,
+        source="status",
+        target="translation",
+        dictionary={"^2\\d\\d": "OK"},
+        exact=True,
+        regex=False,
+    )
+    val, route = one(out)
+    assert val is None and route == ROUTE_UNMATCHED
+
+
+# -- case 3: union substitution (spec :73-118) -------------------------------
+def test_union_substitution_replaces_all_occurrences(spark):
+    df = spark.createDataFrame([("200 & 500",)], "status string")
+    out = translate(
+        df,
+        source="status",
+        target="translation",
+        dictionary=[("200", "OK"), ("500", "Server Error")],
+        exact=False,
+    )
+    val, route = one(out)
+    assert val == "OK & Server Error" and route == ROUTE_MATCHED
+
+
+def test_union_substitution_miss_is_unchanged_output(spark):
+    df = spark.createDataFrame([("nothing here",)], "status string")
+    out = translate(
+        df,
+        source="status",
+        target="translation",
+        dictionary=[("200", "OK")],
+        exact=False,
+    )
+    val, route = one(out)
+    assert val is None and route == ROUTE_UNMATCHED
+
+
+def test_union_keys_are_literal_escaped(spark):
+    # Regexp.union escapes keys: "1.5" must not match "135"
+    df = spark.createDataFrame([("135",), ("1.5",)], "s string")
+    out = translate(
+        df, source="s", target="t", dictionary={"1.5": "X"}, exact=False
+    ).orderBy("s")
+    rows = out.collect()
+    assert rows[0]["t"] == "X" and rows[0]["s"] == "1.5"
+    assert rows[1]["t"] is None
+
+
+# -- case 4: regex first-match mode (spec :120-165) ---------------------------
+def test_regex_mode_first_match_in_key_order(spark):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df,
+        source="status",
+        target="translation",
+        dictionary=[("^2[0-9][0-9]$", "OK"), ("^3[0-9][0-9]$", "Redirect")],
+        exact=True,
+        regex=True,
+    )
+    val, route = one(out)
+    assert val == "OK" and route == ROUTE_MATCHED
+
+
+def test_regex_mode_is_unanchored_search(spark):
+    # Ruby source.match(re) searches anywhere (fetch_strategy/memory.rb:28)
+    df = spark.createDataFrame([("abc500xyz",)], "s string")
+    out = translate(
+        df, source="s", target="t",
+        dictionary=[("500", "Server Error")], exact=True, regex=True,
+    )
+    val, route = one(out, "t")
+    assert val == "Server Error" and route == ROUTE_MATCHED
+
+
+def test_regex_mode_insertion_order_wins_over_specificity(spark):
+    df = spark.createDataFrame([("22",)], "s string")
+    out = translate(
+        df, source="s", target="t",
+        dictionary=[("2", "first"), ("22", "second")], exact=True, regex=True,
+    )
+    assert one(out, "t") == ("first", ROUTE_MATCHED)
+
+
+# -- case 5: fallback static + sprintf (spec :167-210) ------------------------
+def test_fallback_static(spark):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={}, fallback="no match",
+    )
+    assert one(out) == ("no match", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_field_present(spark):
+    df = spark.createDataFrame(
+        [("200", "missing no match")], "status string, missing_translation string"
+    )
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={}, fallback="%{missing_translation}",
+    )
+    assert one(out) == ("missing no match", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_field_absent_keeps_literal(spark):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={}, fallback="%{not_a_column}",
+    )
+    assert one(out) == ("%{not_a_column}", ROUTE_FALLBACK)
+
+
+# -- case 6: per-format value typing (spec :232-379) ---------------------------
+def test_yaml_values_keep_types(spark, fixtures_dir):
+    df = spark.createDataFrame([("a",), ("d",)], "k string")
+    out = translate(
+        df, source="k", dictionary_path=str(fixtures_dir / "dict.yml")
+    ).orderBy("k")
+    rows = out.collect()
+    # heterogeneous dict → JSON-string values (documented; SURVEY.md §1.2)
+    assert json.loads(rows[0]["translation"]) == 1
+    assert json.loads(rows[1]["translation"]) == {
+        "e": [1, "hello", True, "false", "1", "1.1"]
+    }
+
+
+def test_json_values_are_ints(spark, fixtures_dir):
+    df = spark.createDataFrame([("b",)], "k string")
+    out = translate(df, source="k", dictionary_path=str(fixtures_dir / "dict.json"))
+    assert out.schema["translation"].dataType.simpleString() == "bigint"
+    assert one(out) == (20, ROUTE_MATCHED)
+
+
+def test_csv_values_stay_strings(spark, fixtures_dir):
+    df = spark.createDataFrame([("c",)], "k string")
+    out = translate(df, source="k", dictionary_path=str(fixtures_dir / "dict.csv"))
+    assert out.schema["translation"].dataType.simpleString() == "string"
+    assert one(out) == ("300", ROUTE_MATCHED)
+
+
+def test_tagged_map_and_omap_yaml(spark, fixtures_dir):
+    df = spark.createDataFrame([("nine",)], "k string")
+    for fname in ("tag-map-dict.yml", "tag-omap-dict.yml"):
+        out = translate(df, source="k", dictionary_path=str(fixtures_dir / fname))
+        assert one(out) == ("val-9-1|val-9-2", ROUTE_MATCHED)
+
+
+def test_yaml_streaming_equals_one_shot(spark, fixtures_dir):
+    from logstash_filter_translate_spark.sources.dictionary import load_yaml
+
+    path = str(fixtures_dir / "dict.yml")
+    assert load_yaml(path, strategy="streaming") == load_yaml(
+        path, strategy="one_shot"
+    )
+
+
+def test_yaml_code_point_limit_enforced(spark, fixtures_dir):
+    from logstash_filter_translate_spark.sources.dictionary import (
+        DictionaryLoadError,
+        load_yaml,
+    )
+
+    with pytest.raises(DictionaryLoadError, match="code points"):
+        load_yaml(str(fixtures_dir / "dict.yml"), code_point_limit=10)
+
+
+# -- case 7: bad YAML / unknown extension raise at register (spec :212-230,
+#    :381-387) ---------------------------------------------------------------
+def test_bad_yaml_raises_at_register(spark, fixtures_dir):
+    from logstash_filter_translate_spark import DictionaryLoadError
+
+    df = spark.createDataFrame([("foo",)], "k string")
+    with pytest.raises(DictionaryLoadError, match="invalid YAML"):
+        translate(
+            df, source="k", dictionary_path=str(fixtures_dir / "dict-wrong.yml")
+        )
+
+
+def test_unknown_extension_raises(spark, fixtures_dir):
+    from logstash_filter_translate_spark import DictionaryLoadError
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(DictionaryLoadError, match="non valid format"):
+        translate(df, source="k", dictionary_path=str(fixtures_dir / "dict.other"))
+
+
+# -- case 10: in-place override (spec :451-471) --------------------------------
+def test_in_place_translation_forces_override(spark):
+    df = spark.createDataFrame([("bar",)], "foo string")
+    out = translate(df, source="foo", target="foo", dictionary={"bar": "new_value"})
+    rows = out.collect()
+    assert rows[0]["foo"] == "new_value" and rows[0]["route"] == ROUTE_MATCHED
+
+
+def test_override_gate_skips_existing_target(spark):
+    df = spark.createDataFrame([("a", "old")], "k string, translation string")
+    out = translate(df, source="k", dictionary={"a": "new"})
+    assert one(out) == ("old", ROUTE_SKIPPED)
+
+
+def test_override_true_overwrites(spark):
+    df = spark.createDataFrame([("a", "old")], "k string, translation string")
+    out = translate(df, source="k", dictionary={"a": "new"}, override=True)
+    assert one(out) == ("new", ROUTE_MATCHED)
+
+
+# -- case 13: empty dictionary + fallback, all formats (spec :628-682) ---------
+@pytest.mark.parametrize("fname", ["dict_empty.csv", "dict_empty.json", "dict_empty.yml"])
+def test_empty_dictionary_falls_back(spark, fixtures_dir, fname):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df, source="status", target="translation",
+        dictionary_path=str(fixtures_dir / fname), fallback="no match",
+    )
+    assert one(out) == ("no match", ROUTE_FALLBACK)
+
+
+# -- case 14: target defaulting, legacy vs ECS (spec :684-721) -----------------
+def test_default_target_is_translation_legacy(spark):
+    cfg = TranslateConfig(source="s", dictionary={"a": "b"}).validate()
+    assert cfg.resolved_target == "translation" and not cfg.in_place
+
+
+def test_default_target_ecs_in_place(spark):
+    cfg = TranslateConfig(
+        source="s", dictionary={"a": "b"}, ecs_compatibility=True
+    ).validate()
+    assert cfg.resolved_target == "s" and cfg.in_place and cfg.resolved_override
+
+
+# -- NULL-source rule (SURVEY.md §7): NULL → miss → fallback path --------------
+def test_null_source_takes_fallback(spark):
+    df = spark.createDataFrame([(None,)], "status string")
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={"200": "OK"}, fallback="no match",
+    )
+    assert one(out) == ("no match", ROUTE_FALLBACK)
+
+
+# -- array source coerces to first element (single_value_update.rb:5-13) -------
+def test_array_source_uses_first_element(spark):
+    df = spark.createDataFrame([(["200", "300"],)], "status array<string>")
+    out = translate(df, source="status", target="translation",
+                    dictionary={"200": "OK"})
+    assert one(out) == ("OK", ROUTE_MATCHED)
+
+
+# -- physical planes agree (expr map-literal vs broadcast join) ----------------
+def test_exact_physical_planes_agree(spark):
+    data = [(str(i),) for i in range(50)] + [("miss-me",)]
+    df = spark.createDataFrame(data, "k string")
+    d = {str(i): f"v{i}" for i in range(40)}
+    a = translate(df, source="k", dictionary=d, fallback="fb", physical="expr")
+    b = translate(df, source="k", dictionary=d, fallback="fb", physical="join")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
