@@ -1,0 +1,196 @@
+"""Text-analysis primitives for large-scale training-data pipelines:
+tokenization, quality scoring, language ID, fingerprinting, portable
+hashing, shingling.
+
+Design constraints:
+  - everything stays JVM-side (built-in pyspark.sql.functions, whole-stage
+    codegen) — no Python in the hot path;
+  - every function has an exact ANSI-SQL equivalent so the DuckDB oracle can
+    verify it value-for-value (the md5-based 32-bit hash is the portable
+    hashing primitive: Spark ``conv(substr(md5(x),1,8),16,10)`` ==
+    DuckDB ``cast('0x'||substr(md5(x),1,8) as bigint)``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# hashing
+# ---------------------------------------------------------------------------
+
+def hash32(col: Column) -> Column:
+    """Deterministic unsigned 32-bit hash from the md5 hex prefix.
+
+    Portable across engines (unlike xxhash64/murmur which differ between
+    Spark and DuckDB). Cost: one md5 per value — fine for shingle-scale
+    cardinalities; use F.xxhash64 where cross-engine parity isn't needed.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# fixed MinHash coefficients (a*h + b) mod p — deterministic, no RNG at
+# plan time; p is the Mersenne prime 2^31-1
+MINHASH_P = 2147483647
+MINHASH_COEF: List[Tuple[int, int]] = [
+    (1299721, 104729),
+    (15485863, 32452843),
+    (49979687, 67867967),
+    (86028121, 15485867),
+    (22801763, 49979693),
+    (67867979, 86028157),
+    (32452867, 22801777),
+    (104729, 1299709),
+]
+
+
+# ---------------------------------------------------------------------------
+# tokenization & shingles
+# ---------------------------------------------------------------------------
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens; empty string → empty array (matches DuckDB
+    ``string_split(text,' ')`` filtered of empties)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; fewer than n tokens → empty array.
+
+    Pure expression: transform over an index sequence + element_at — no
+    explode/shuffle. (The DuckDB oracle states the same set via a pos
+    self-join.)
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 8) -> List[Column]:
+    """MinHash signature columns over a shingle array; empty array → NULLs."""
+    h = F.transform(shingles, lambda s: hash32(s))
+    sigs = []
+    for i in range(num_hashes):
+        a, b = MINHASH_COEF[i % len(MINHASH_COEF)]
+        sigs.append(
+            F.array_min(
+                F.transform(h, lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P)
+            ).alias(f"m{i}")
+        )
+    return sigs
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+DEFAULT_STOPWORDS = (
+    "the a an and or of to in is are was for on with as by at it this that",
+)
+
+
+def quality_metrics(text: Column) -> List[Column]:
+    """Length / punctuation / token statistics used for quality filtering.
+    All expressible in ANSI SQL (length + regexp_replace deltas)."""
+    n_chars = F.length(text).alias("n_chars_q")
+    toks = tokens(text)
+    n_tokens = F.size(toks).alias("n_tokens")
+    punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+    ).alias("n_punct")
+    digits = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    ).alias("n_digits")
+    mean_tok_len = F.when(
+        F.size(toks) > 0,
+        (
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            )
+            / F.size(toks)
+        ),
+    ).alias("mean_token_len")
+    return [n_chars, n_tokens, punct, digits, mean_tok_len]
+
+
+def quality_score(text: Column) -> Column:
+    """0..3 heuristic score: long enough, not digit-heavy, sane token length.
+    Deterministic integer so oracles compare exactly."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
+    long_enough = (n_tok >= 10).cast("int")
+    low_digit = (digits * 10 < F.length(text)).cast("int")
+    mean_len_ok = F.when(
+        n_tok > 0,
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+            .cast("double")
+            / n_tok
+        ).between(2.0, 12.0),
+    ).otherwise(F.lit(False)).cast("int")
+    return (long_enough + low_digit + mean_len_ok).alias("quality_score")
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    (DuckDB: ``md5(lower(regexp_replace(text,'\\s+',' ','g')))``)."""
+    return F.md5(F.lower(F.regexp_replace(text, r"\s+", " ")))
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram/stopword profile heuristic)
+# ---------------------------------------------------------------------------
+
+def langid_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    profiles: Sequence[Tuple[str, Sequence[str]]],
+) -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-word hit
+    counts. Explode tokens → broadcast join against the marker table →
+    count → window argmax. Returns (id_col, lang_id) with 'und' when no
+    marker hits.
+
+    At 100 TB scale: the token explode is map-side; the join side is tiny
+    and broadcast; the argmax groupBy shuffles only (doc_id, lang) partial
+    counts thanks to partial aggregation.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    marker_rows = [(lang, w) for lang, words in profiles for w in words]
+    markers = spark.createDataFrame(marker_rows, "lang_cand string, w string")
+    tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
+    scores = (
+        tok.join(F.broadcast(markers), "w")
+        .groupBy(id_col, "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("hits"), F.asc("lang_cand")
+    )
+    best = (
+        scores.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("lang_cand").alias("lang_id"))
+    )
+    return df.select(id_col).join(best, id_col, "left").select(
+        id_col, F.coalesce("lang_id", F.lit("und")).alias("lang_id")
+    )

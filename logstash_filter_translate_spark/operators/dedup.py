@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Scale notes (the 100 TB story):
+  - exact dedup is one hash-shuffle on the dedup key (partial agg applies);
+    dedup on a fingerprint rather than raw text keeps shuffle rows narrow.
+  - MinHash/LSH: signatures are pure map-side expressions (no shuffle);
+    candidate generation shuffles only (band_idx, band_key) pairs — the
+    classic shingle→minhash→band→bucket-join pipeline. Hot buckets (boiler-
+    plate pages) are the skew risk: cap bucket width before pairing.
+  - SimHash: map-side expression; near-dup = Hamming distance on a 64-bit
+    int, cheap to band by prefix.
+  - All primitives use the md5-based portable hash so the DuckDB oracle
+    verifies values exactly (functions/text.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    fingerprint,
+    hash32,
+    minhash_signature,
+    tokens,
+    word_shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str, id_col: str, use_fingerprint: bool = True
+) -> DataFrame:
+    """Keep min(id) per identical text; returns (id, dup_cnt).
+
+    ``use_fingerprint`` shuffles a 32-char digest instead of full documents —
+    at 100 TB this is the difference between shuffling ~100 TB and ~1 TB.
+    """
+    key = fingerprint(F.col(text_col)) if use_fingerprint else F.col(text_col)
+    return (
+        df.groupBy(key.alias("__fp"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_cnt"),
+        )
+        .drop("__fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, m0..m{k-1}) — NULL signature for docs with < n tokens."""
+    toks = tokens(F.col(text_col))
+    sh = word_shingles(toks, shingle_n)
+    return df.select(F.col(id_col), *minhash_signature(sh, num_hashes))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs
+    (id_a < id_b).
+
+    One shuffle on (band_idx, band_key). ``max_bucket`` caps pathological
+    buckets (boilerplate text at web scale makes some buckets millions wide;
+    an uncapped bucket-join is quadratic — this is the explicit skew guard).
+    """
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{b * band_size + j}").cast("string")
+                        for j in range(band_size)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    has_sig = F.col("m0").isNotNull()
+    banded = (
+        sigs.filter(has_sig)
+        .select(id_col, F.explode(bands).alias("b"))
+        .select(id_col, "b.band_idx", "b.band_key")
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_key")
+        banded = banded.withColumn("__bw", F.count("*").over(w)).filter(
+            F.col("__bw") <= max_bucket
+        ).drop("__bw")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash over token hashes: bit b is 1 iff the sum of
+    (+1 / -1) votes from each token's hash bit b is positive.
+
+    Pure expression per bit (aggregate over the token array) — map-side
+    only, no shuffle.
+    """
+    toks = tokens(F.col(text_col))
+    h = F.transform(toks, lambda t: hash32(t))
+
+    def bit_vote(b: int) -> Column:
+        votes = F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+
+    sim = None
+    for b in range(bits):
+        piece = bit_vote(b)
+        sim = piece if sim is None else sim + piece
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(toks) > 0, sim).alias("simhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    pairs: DataFrame,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard (distinct word n-grams) for given candidate (id_a, id_b)
+    pairs; returns (id_a, id_b, n_intersect, n_union) — integers so the
+    oracle compares exactly; ratio = n_intersect / n_union.
+
+    Implementation: explode distinct shingles once, join to the pair list,
+    count shared shingles; set sizes come from a per-doc aggregate. This is
+    the verify stage after LSH candidates at scale — it only touches
+    candidate pairs, never the full cross product.
+    """
+    sh = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+            ).alias("s"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("s", "s_b")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(
+            b.select(F.col("id_b").alias("__rb"), F.col("s_b")),
+            (F.col("id_b") == F.col("__rb")) & (F.col("s") == F.col("s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce("n_intersect", F.lit(0))).alias(
+                "n_union"
+            ),
+        )
+    )

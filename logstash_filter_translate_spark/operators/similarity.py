@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — the query set is broadcast (it is
+small by construction); each partition scores its local shard and a single
+top-k-per-query aggregation follows. Scale path: LSH bucketing via random
+hyperplane signs (SimHash over the embedding) so candidates shrink from
+|corpus| to a bucket.
+
+Dot products run as Catalyst higher-order functions (``zip_with`` +
+``aggregate``) — JVM-side, no Python. An IVF variant would replace the
+hyperplane bucketer with k-means centroids; the plumbing (bucket column →
+co-partitioned join) is identical.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double-precision dot product (matches a sequential
+    SQL loop; summation order fixed → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score every (query,
+    corpus) pair locally, keep k per query via window row_number.
+
+    Returns (query_id, rank, vec_id) — IDs only, so verification is robust
+    to last-ulp float differences across engines.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
+    """LSH bucket id: sign pattern of dot products against fixed random
+    hyperplanes, packed into an int. Deterministic (planes are literals)."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: List[List[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's hyperplane bucket.
+
+    At scale the corpus is written bucketed/partitioned by this bucket id,
+    so a query touches one partition instead of the full corpus.
+    """
+    cb = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "__bucket").filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col)
+    )

@@ -1,0 +1,748 @@
+"""Driver-contract queries: every implemented operator exercised over the
+driver's testdata tables, each paired with an ANSI-SQL oracle that DuckDB
+runs on the same parquet (SURVEY.md §5; FIXTURES.md §4).
+
+Dictionaries are shared constants: the Spark side consumes them through the
+Translate operator, the oracle side embeds them as VALUES CTEs — both
+engines compute the same joins, so row counts, schemas and value hashes
+must agree exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import TranslateConfig
+from ..functions.text import (
+    MINHASH_COEF,
+    MINHASH_P,
+    langid_scores,
+    quality_score,
+    tokens,
+)
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.translate import Translate
+
+# ---------------------------------------------------------------------------
+# shared dictionary constants (Spark + oracle)
+# ---------------------------------------------------------------------------
+
+EVENTS_DICT = [
+    ("click", "Click Event"),
+    ("error", "Error Event"),
+    ("view", "Page View"),
+    ("purchase", "Purchase"),
+    # 'signup' intentionally missing → fallback route
+]
+EVENTS_FALLBACK = "other"
+
+LANG_DICT = [
+    ("en", "English"),
+    ("de", "German"),
+    ("fr", "French"),
+    ("es", "Spanish"),
+]
+LANG_FALLBACK = "Other"
+
+REGEX_DICT = [
+    ("^c", "C-class"),
+    ("r$", "ends-r"),
+    ("^(view|signup)$", "exact-vs"),
+]
+REGEX_FALLBACK = "none"
+
+UNION_DICT = [("merge", "MERGED"), ("batch", "BATCHED")]
+
+WORD_DICT = [("table", "TBL"), ("row", "RW"), ("scan", "SCN"), ("value", "VAL")]
+WORD_FALLBACK = "?"
+
+STATUS_LIST = ["200", "301", "404", "500", "999"]
+STATUS_DICT = [
+    ("200", "OK"),
+    ("301", "Moved"),
+    ("404", "Not Found"),
+    ("500", "Server Error"),
+]
+STATUS_FALLBACK = "unknown-status"
+
+LANGID_PROFILES = [
+    ("opsish", ["merge", "batch", "scan"]),
+    ("perfish", ["slow", "fast", "hash"]),
+    ("sqlish", ["table", "row", "value"]),
+]
+
+SIMHASH_BITS = 16
+MINHASH_NUM = 8
+LSH_PLANES = [
+    [(((i * 37 + p * 17) % 13) - 6) / 6.0 for i in range(64)] for p in range(3)
+]
+
+
+def _values_cte(name: str, pairs) -> str:
+    rows = ", ".join(f"('{k}', '{v}')" for k, v in pairs)
+    return f"{name}(k, v) AS (VALUES {rows})"
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# O1/O4/O8/O9: exact + fallback + route over events
+# ---------------------------------------------------------------------------
+
+def q_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("event_id", "event_type", "translation", "route")
+
+
+SQL_EXACT_EVENTS = f"""
+WITH {_values_cte('dict', EVENTS_DICT)}
+SELECT e.event_id, e.event_type,
+       COALESCE(d.v, '{EVENTS_FALLBACK}') AS translation,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM events e LEFT JOIN dict d ON e.event_type = d.k
+"""
+
+
+# O9 + aggregates: per-route/per-translation histogram
+def q_route_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        q_exact_events(spark, sf_dir)
+        .groupBy("route", "translation")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_ROUTE_HISTOGRAM = f"""
+WITH {_values_cte('dict', EVENTS_DICT)},
+t AS (
+  SELECT COALESCE(d.v, '{EVENTS_FALLBACK}') AS translation,
+         CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+  FROM events e LEFT JOIN dict d ON e.event_type = d.k
+)
+SELECT route, translation, COUNT(*) AS cnt FROM t GROUP BY route, translation
+"""
+
+
+# O1 over documents.lang (per-lang routing)
+def q_exact_docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "documents")
+    op = Translate(
+        TranslateConfig(
+            source="lang",
+            target="lang_name",
+            dictionary=LANG_DICT,
+            fallback=LANG_FALLBACK,
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("doc_id", "lang", "lang_name", "route")
+
+
+SQL_EXACT_DOCS_LANG = f"""
+WITH {_values_cte('dict', LANG_DICT)}
+SELECT c.doc_id, c.lang,
+       COALESCE(d.v, '{LANG_FALLBACK}') AS lang_name,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM documents c LEFT JOIN dict d ON c.lang = d.k
+"""
+
+
+# O7: override gate — pre-existing target column survives
+def q_override_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events").withColumn(
+        "translation",
+        F.when(F.col("event_id") % 7 == 0, F.lit("preset")),
+    )
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+            override=False,
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("event_id", "translation", "route")
+
+
+SQL_OVERRIDE_GATE = f"""
+WITH {_values_cte('dict', EVENTS_DICT)}
+SELECT e.event_id,
+       CASE WHEN e.event_id % 7 = 0 THEN 'preset'
+            ELSE COALESCE(d.v, '{EVENTS_FALLBACK}') END AS translation,
+       CASE WHEN e.event_id % 7 = 0 THEN 'skipped'
+            WHEN d.k IS NOT NULL THEN 'matched'
+            ELSE 'fallback' END AS route
+FROM events e LEFT JOIN dict d ON e.event_type = d.k
+"""
+
+
+# ---------------------------------------------------------------------------
+# O2: ordered first-match regex
+# ---------------------------------------------------------------------------
+
+def q_regex_firstmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=REGEX_DICT,
+            exact=True,
+            regex=True,
+            fallback=REGEX_FALLBACK,
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("event_id", "event_type", "translation", "route")
+
+
+def _sql_regex_case(value_expr: str) -> str:
+    whens = "\n".join(
+        f"  WHEN regexp_matches({value_expr}, '{pat}') THEN '{val}'"
+        for pat, val in REGEX_DICT
+    )
+    return f"CASE\n{whens}\n  ELSE '{REGEX_FALLBACK}' END"
+
+
+SQL_REGEX_FIRSTMATCH = f"""
+SELECT event_id, event_type,
+       {_sql_regex_case('event_type')} AS translation,
+       CASE WHEN {_sql_regex_case('event_type')} <> '{REGEX_FALLBACK}'
+            THEN 'matched' ELSE 'fallback' END AS route
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# O3: union-regex substitution
+# ---------------------------------------------------------------------------
+
+def q_union_substitute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "documents")
+    op = Translate(
+        TranslateConfig(
+            source="text", target="translated", dictionary=UNION_DICT, exact=False
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("doc_id", "translated", "route")
+
+
+def _sql_union_replace(col: str) -> str:
+    expr = col
+    for k, v in UNION_DICT:
+        expr = f"replace({expr}, '{k}', '{v}')"
+    return expr
+
+
+SQL_UNION_SUBSTITUTE = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_union_replace('text')} <> text
+            THEN {_sql_union_replace('text')} END AS translated,
+       CASE WHEN {_sql_union_replace('text')} <> text
+            THEN 'matched' ELSE 'unmatched' END AS route
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# O5: iterate_on array-of-values (explode + join + reassemble semantics)
+# ---------------------------------------------------------------------------
+
+def q_iterate_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "documents").withColumn(
+        "words", F.slice(F.split(F.col("text"), " "), 1, 5)
+    )
+    op = Translate(
+        TranslateConfig(
+            source="words",
+            iterate_on="words",
+            target="translated",
+            dictionary=WORD_DICT,
+            fallback=WORD_FALLBACK,
+        ),
+        spark=spark,
+    )
+    out = op.apply(df)
+    return out.select(
+        "doc_id", F.posexplode("translated").alias("pos0", "translated")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "translated")
+
+
+SQL_ITERATE_VALUES = f"""
+WITH {_values_cte('dict', WORD_DICT)},
+tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')[1:5]) AS word,
+         generate_subscripts(string_split(text, ' ')[1:5], 1) AS pos
+  FROM documents
+)
+SELECT t.doc_id, t.pos, COALESCE(d.v, '{WORD_FALLBACK}') AS translated
+FROM tok t LEFT JOIN dict d ON t.word = d.k
+"""
+
+
+# O6: iterate_on array-of-maps
+def q_iterate_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events").withColumn(
+        "items",
+        F.array(
+            F.struct(F.col("event_type").alias("kind")),
+            F.struct(F.upper(F.col("event_type")).alias("kind")),
+        ),
+    )
+    op = Translate(
+        TranslateConfig(
+            source="kind",
+            iterate_on="items",
+            target="label",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+        ),
+        spark=spark,
+    )
+    out = op.apply(df)
+    return out.select(
+        "event_id", F.posexplode("items").alias("pos0", "item")
+    ).select(
+        "event_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("item.kind").alias("kind"),
+        F.col("item.label").alias("label"),
+    )
+
+
+SQL_ITERATE_MAPS = f"""
+WITH {_values_cte('dict', EVENTS_DICT)},
+items AS (
+  SELECT event_id, 1 AS pos, event_type AS kind FROM events
+  UNION ALL
+  SELECT event_id, 2 AS pos, upper(event_type) AS kind FROM events
+)
+SELECT i.event_id, i.pos, i.kind,
+       COALESCE(d.v, '{EVENTS_FALLBACK}') AS label
+FROM items i LEFT JOIN dict d ON i.kind = d.k
+"""
+
+
+# per-key match histogram (north-star aggregate)
+def q_per_key_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+        ),
+        spark=spark,
+    )
+    out = op.apply(df, matched_key_col="matched_key")
+    return out.groupBy("route", "matched_key").agg(F.count("*").alias("cnt"))
+
+
+SQL_PER_KEY_HISTOGRAM = f"""
+WITH {_values_cte('dict', EVENTS_DICT)},
+t AS (
+  SELECT CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route,
+         d.k AS matched_key
+  FROM events e LEFT JOIN dict d ON e.event_type = d.k
+)
+SELECT route, matched_key, COUNT(*) AS cnt FROM t GROUP BY route, matched_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_cnt
+FROM documents
+GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+"""
+
+_SQL_TOK = """
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)"""
+
+_SQL_SHINGLE_HASH = (
+    _SQL_TOK
+    + """,
+sh AS (
+  SELECT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS s
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS h FROM sh
+)"""
+)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM
+    )
+
+
+def _sql_minhash_cols() -> str:
+    cols = []
+    for i in range(MINHASH_NUM):
+        a, b = MINHASH_COEF[i % len(MINHASH_COEF)]
+        cols.append(f"min(({a} * h.h + {b}) % {MINHASH_P}) AS m{i}")
+    return ",\n       ".join(cols)
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH {_SQL_SHINGLE_HASH}
+SELECT d.doc_id,
+       {_sql_minhash_cols()}
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+GROUP BY d.doc_id
+"""
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM
+    )
+    return lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
+
+
+SQL_LSH_PAIRS = f"""
+WITH {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", SIMHASH_BITS
+    )
+
+
+def _sql_simhash() -> str:
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h.h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {_SQL_TOK},
+h AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok
+),
+bits AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+    )
+    return ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
+
+
+SQL_JACCARD_ADJACENT = f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS s
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.id_a, p.id_b, COUNT(*) AS n_intersect
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+  GROUP BY p.id_a, p.id_b
+)
+SELECT p.id_a, p.id_b,
+       COALESCE(i.n_intersect, 0) AS n_intersect,
+       za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) AS n_union
+FROM pairs p
+LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+JOIN sizes za ON za.doc_id = p.id_a
+JOIN sizes zb ON zb.doc_id = p.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+def q_tokens_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = tokens(text)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
+        ).alias("n_punct"),
+        (F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))).alias(
+            "n_digits"
+        ),
+        quality_score(text).alias("quality_score"),
+    )
+
+
+SQL_TOKENS_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digits,
+         length(replace(text, ' ', '')) AS tok_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_punct, n_digits,
+       (CASE WHEN n_tokens >= 10 THEN 1 ELSE 0 END
+        + CASE WHEN n_digits * 10 < length(text) THEN 1 ELSE 0 END
+        + CASE WHEN n_tokens > 0
+               AND (CAST(tok_chars AS DOUBLE) / n_tokens) BETWEEN 2.0 AND 12.0
+               THEN 1 ELSE 0 END) AS quality_score
+FROM base
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_scores(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", LANGID_PROFILES
+    )
+
+
+def _sql_langid() -> str:
+    marker_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, words in LANGID_PROFILES for w in words
+    )
+    return f"""
+WITH markers(lang_cand, w) AS (VALUES {marker_rows}),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+scores AS (
+  SELECT t.doc_id, m.lang_cand, COUNT(*) AS hits
+  FROM tok t JOIN markers m ON t.w = m.w
+  GROUP BY t.doc_id, m.lang_cand
+),
+best AS (
+  SELECT doc_id, lang_cand,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand) AS rn
+  FROM scores
+)
+SELECT d.doc_id, COALESCE(b.lang_cand, 'und') AS lang_id
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fingerprint
+
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.embedding, q.qe)
+         / (sqrt(list_dot_product(c.embedding, c.embedding))
+            * sqrt(list_dot_product(q.qe, q.qe))) AS score
+  FROM embeddings c, q
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, LSH_PLANES, k=5)
+
+
+def _sql_similarity_lsh() -> str:
+    def plane_lit(p):
+        return "[" + ", ".join(f"{x}" for x in p) + "]"
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(LSH_PLANES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.embedding, q.qe)
+         / (sqrt(list_dot_product(c.embedding, c.embedding))
+            * sqrt(list_dot_product(q.qe, q.qe))) AS score
+  FROM b c JOIN q ON c.bucket = q.bucket
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_SIMILARITY_LSH = _sql_similarity_lsh()
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_events": q_exact_events,
+    "route_histogram": q_route_histogram,
+    "exact_docs_lang": q_exact_docs_lang,
+    "override_gate": q_override_gate,
+    "regex_firstmatch": q_regex_firstmatch,
+    "union_substitute": q_union_substitute,
+    "iterate_values": q_iterate_values,
+    "iterate_maps": q_iterate_maps,
+    "per_key_histogram": q_per_key_histogram,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "jaccard_adjacent": q_jaccard_adjacent,
+    "tokens_quality": q_tokens_quality,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "similarity_topk": q_similarity_topk,
+    "similarity_lsh": q_similarity_lsh,
+}
+
+ORACLES: Dict[str, str] = {
+    "exact_events": SQL_EXACT_EVENTS,
+    "route_histogram": SQL_ROUTE_HISTOGRAM,
+    "exact_docs_lang": SQL_EXACT_DOCS_LANG,
+    "override_gate": SQL_OVERRIDE_GATE,
+    "regex_firstmatch": SQL_REGEX_FIRSTMATCH,
+    "union_substitute": SQL_UNION_SUBSTITUTE,
+    "iterate_values": SQL_ITERATE_VALUES,
+    "iterate_maps": SQL_ITERATE_MAPS,
+    "per_key_histogram": SQL_PER_KEY_HISTOGRAM,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_pairs": SQL_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "jaccard_adjacent": SQL_JACCARD_ADJACENT,
+    "tokens_quality": SQL_TOKENS_QUALITY,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "similarity_topk": SQL_SIMILARITY_TOPK,
+    "similarity_lsh": SQL_SIMILARITY_LSH,
+}
