@@ -1,0 +1,75 @@
+"""HTML/url parse stage (axis B): vectorized text extraction and grok-style
+field parsing.
+
+Two extraction planes, tested byte-identical:
+  - native: ``regexp_extract`` over the decoded html — whole-stage codegen,
+    zero Python; the default hot path.
+  - arrow:  a pandas UDF with a compiled ``re`` pattern — the
+    "vectorized Arrow/pandas UDF" plane the north star names; used when
+    extraction logic outgrows a single regex (real-world boilerplate
+    removal), and as the template for custom extractors.
+
+Per-row invariant (BASELINE.json.input_hint): extract_text(html) == text
+byte-identically — guaranteed by the page template (plans/pages.py) and
+asserted in tests + the e2e pipeline observe() metric.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_TEXT_RE = r"(?s)<p>(.*)</p>"
+_STATUS_RE = r'<meta http-equiv="Status" content="([^"]*)"'
+_LANG_RE = r'<meta name="lang" content="([^"]*)"'
+_URL_RE = r"^https?://([^/.]+)\.example\.([a-z]+)(/.*)?$"
+
+
+def html_str(html_bin: Column) -> Column:
+    return F.decode(html_bin, "UTF-8")
+
+
+def extract_text_native(html_bin: Column) -> Column:
+    """JVM-side extraction; empty match → NULL (not '')."""
+    x = F.regexp_extract(html_str(html_bin), _TEXT_RE, 1)
+    return F.when(x != "", x)
+
+
+@pandas_udf(T.StringType())
+def extract_text_arrow(html: pd.Series) -> pd.Series:
+    pat = re.compile(_TEXT_RE)
+
+    def one(b):
+        if b is None:
+            return None
+        m = pat.search(bytes(b).decode("utf-8"))
+        return m.group(1) if m and m.group(1) else None
+
+    return html.map(one)
+
+
+def extract_status(html_bin: Column) -> Column:
+    x = F.regexp_extract(html_str(html_bin), _STATUS_RE, 1)
+    return F.when(x != "", x)
+
+
+def extract_lang_header(html_bin: Column) -> Column:
+    x = F.regexp_extract(html_str(html_bin), _LANG_RE, 1)
+    return F.when(x != "", x)
+
+
+def parse_url(url: Column):
+    """grok-ish url parse → (host, tld, path)."""
+    host = F.regexp_extract(url, _URL_RE, 1)
+    tld = F.regexp_extract(url, _URL_RE, 2)
+    path = F.regexp_extract(url, _URL_RE, 3)
+    return (
+        F.when(host != "", host).alias("host"),
+        F.when(tld != "", tld).alias("tld"),
+        F.when(path != "", path).alias("path"),
+    )

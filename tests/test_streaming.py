@@ -1,0 +1,86 @@
+"""Structured Streaming plane: micro-batch translate with dictionary
+refresh (broadcast swap between batches), checkpointed resumable sinks,
+windowed event-time aggregates."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from logstash_filter_translate_spark import TranslateConfig
+from logstash_filter_translate_spark.streaming.refresh import (
+    StreamingTranslate,
+    run_streaming_pipeline,
+    windowed_route_counts,
+)
+
+
+def _write_dict(path, text):
+    with open(path, "w") as fh:
+        fh.write(text)
+    st = os.stat(path)
+    os.utime(path, (st.st_atime, st.st_mtime + 2))
+
+
+def test_streaming_translate_with_refresh_between_batches(spark, tmp_path):
+    src_dir = str(tmp_path / "src")
+    dict_path = str(tmp_path / "d.csv")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_dict(dict_path, "a,1\nb,2\n")
+
+    spark.createDataFrame([("a",), ("b",), ("z",)], "k string").write.parquet(
+        src_dir
+    )
+
+    st = StreamingTranslate(
+        TranslateConfig(
+            source="k", dictionary_path=dict_path, fallback="fb",
+            refresh_behaviour="replace",
+        ),
+        spark,
+    )
+    stream = spark.readStream.schema("k string").parquet(src_dir)
+    q = run_streaming_pipeline(
+        spark, stream, st, out_dir, ckpt, refresh_every_batch=True
+    )
+    q.awaitTermination(120)
+
+    routed = spark.read.parquet(os.path.join(out_dir, "routed"))
+    got = {r["k"]: (r["translation"], r["route"]) for r in routed.collect()}
+    assert got == {"a": ("1", "matched"), "b": ("2", "matched"), "z": ("fb", "fallback")}
+
+    # second batch after a dictionary mutation: replace drops 'b'
+    _write_dict(dict_path, "a,11\n")
+    spark.createDataFrame([("a",), ("b",)], "k string").write.mode("append").parquet(
+        src_dir
+    )
+    q2 = run_streaming_pipeline(
+        spark, stream, st, out_dir, ckpt, refresh_every_batch=True
+    )
+    q2.awaitTermination(120)
+
+    routed = spark.read.parquet(os.path.join(out_dir, "routed"))
+    batch2 = routed.filter(F.col("__batch_id") >= 1)
+    got2 = {r["k"]: (r["translation"], r["route"]) for r in batch2.collect()}
+    assert got2 == {"a": ("11", "matched"), "b": ("fb", "fallback")}
+
+    # checkpoint made the first batch exactly-once: 'a' appears twice total
+    # (once per batch), not three times
+    assert routed.filter(F.col("k") == "a").count() == 2
+
+
+def test_windowed_route_counts_batch_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ("2026-01-01 00:00:10", "matched"),
+            ("2026-01-01 00:00:50", "matched"),
+            ("2026-01-01 00:01:10", "fallback"),
+        ],
+        "ts string, route string",
+    ).withColumn("warc_ts", F.to_timestamp("ts"))
+    out = windowed_route_counts(df).collect()
+    got = {(str(r["window_start"]), r["route"]): r["cnt"] for r in out}
+    assert got == {
+        ("2026-01-01 00:00:00", "matched"): 2,
+        ("2026-01-01 00:01:00", "fallback"): 1,
+    }
