@@ -34,10 +34,24 @@ def html_str(html_bin: Column) -> Column:
     return F.decode(html_bin, "UTF-8")
 
 
+def extract_text_from_str(s: Column) -> Column:
+    x = F.regexp_extract(s, _TEXT_RE, 1)
+    return F.when(x != "", x)
+
+
+def extract_status_from_str(s: Column) -> Column:
+    x = F.regexp_extract(s, _STATUS_RE, 1)
+    return F.when(x != "", x)
+
+
+def extract_lang_from_str(s: Column) -> Column:
+    x = F.regexp_extract(s, _LANG_RE, 1)
+    return F.when(x != "", x)
+
+
 def extract_text_native(html_bin: Column) -> Column:
     """JVM-side extraction; empty match → NULL (not '')."""
-    x = F.regexp_extract(html_str(html_bin), _TEXT_RE, 1)
-    return F.when(x != "", x)
+    return extract_text_from_str(html_str(html_bin))
 
 
 @pandas_udf(T.StringType())

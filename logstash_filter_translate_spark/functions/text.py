@@ -68,12 +68,16 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     explode/shuffle. (The DuckDB oracle states the same set via a pos
     self-join.)
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    shingled = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
+    )
+    # guard: sequence(1, k) DESCENDS for k < 1 — short docs must yield []
+    return F.when(F.size(toks) >= n, shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -333,15 +333,54 @@ class UnionSubstitution(LookupStrategy):
 
     mode = "union"
 
-    def __init__(self, pairs: Pairs):
+    def __init__(self, pairs: Pairs, prefer_native: bool = True):
         self.value_type = T.StringType()
         self.values_are_json = False
         self._table: List[Tuple[str, str]] = [
             (str(k), ruby_to_s(v)) for k, v in pairs
         ]
         self._result_type = lookup_result_type(T.StringType())
-        self._scalar_udf = self._build_udf(array=False)
-        self._array_udf = self._build_udf(array=True)
+        self.native = prefer_native and self._native_safe()
+        self._scalar_udf = None if self.native else self._build_udf(array=False)
+        self._array_udf = None if self.native else self._build_udf(array=True)
+
+    def _native_safe(self) -> bool:
+        """True when a sequential JVM ``replace`` chain is provably
+        equivalent to the single-pass union sub: keys must not be able to
+        overlap each other in any text (no substring relations, no
+        suffix-of-one == prefix-of-another) and no value may contain any
+        key (no re-triggering). Then each source position is consumed by at
+        most one key and pass order cannot matter. The JVM plane keeps this
+        hot path inside whole-stage codegen — the Arrow UDF plane is the
+        fallback for interacting dictionaries."""
+        keys = [k for k, _ in self._table]
+        vals = [v for _, v in self._table]
+        for i, a in enumerate(keys):
+            for j, b in enumerate(keys):
+                if i == j:
+                    continue
+                if a in b:
+                    return False
+                for cut in range(1, min(len(a), len(b))):
+                    if a[-cut:] == b[:cut]:
+                        return False
+        for v in vals:
+            for k in keys:
+                if k in v:
+                    return False
+        return True
+
+    def native_expr(self, key: Column) -> Column:
+        out = key
+        for k, v in self._table:
+            out = F.replace(out, F.lit(k), F.lit(v))
+        matched = key.isNotNull() & (out != key)
+        return F.struct(
+            matched.alias("matched"),
+            F.when(matched, out).alias("value"),
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("string").alias("error"),
+        )
 
     def _build_udf(self, array: bool):
         table = self._table
@@ -425,9 +464,13 @@ class UnionSubstitution(LookupStrategy):
         return udf
 
     def expr(self, key: Column) -> Column:
+        if self.native:
+            return self.native_expr(key)
         return self._scalar_udf(key)
 
     def expr_array(self, arr: Column) -> Column:
+        if self.native:
+            return F.transform(arr, lambda x: self.native_expr(x.cast("string")))
         return self._array_udf(arr)
 
 

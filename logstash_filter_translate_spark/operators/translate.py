@@ -171,6 +171,16 @@ class Translate:
     ) -> DataFrame:
         cfg = self.config
         key = self._coerce_single_key(df)
+        # the native union plane cannot report the first-matched key; flip
+        # to the UDF plane when the caller asks for key tracking
+        from .lookup import UnionSubstitution
+
+        if (
+            matched_key_col is not None
+            and isinstance(self.strategy, UnionSubstitution)
+            and self.strategy.native
+        ):
+            self.strategy = UnionSubstitution(self._pairs(), prefer_native=False)
         # materialize the gate BEFORE the target column is overwritten —
         # later expressions must see the ORIGINAL target
         df = df.withColumn(_SKIP, self._skip_gate(df))

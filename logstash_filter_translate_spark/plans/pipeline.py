@@ -81,20 +81,37 @@ class PipelineConfig:
 
 
 def parse_stage(pages: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
-    extract = extract_text_arrow(F.col("html")) if cfg.use_arrow_extract else (
-        extract_text_native(F.col("html"))
+    from ..functions.html import (
+        extract_lang_from_str,
+        extract_status_from_str,
+        extract_text_from_str,
+        html_str,
     )
+
     host, tld, path = parse_url(F.col("url"))
-    return pages.withColumns(
-        {
-            "extracted_text": extract,
+    if cfg.use_arrow_extract:
+        extract_cols = {
+            "extracted_text": extract_text_arrow(F.col("html")),
             "status": extract_status(F.col("html")),
             "lang_header": extract_lang_header(F.col("html")),
+        }
+        return pages.withColumns(
+            {**extract_cols, "host": host, "tld": tld, "url_path": path}
+        )
+    # decode the binary ONCE into a temp column — three regexes then share
+    # the same string instead of re-decoding (1/3 the allocation rate; GC is
+    # the scaling bottleneck of this stage)
+    s = pages.withColumn("__html_s", html_str(F.col("html")))
+    return s.withColumns(
+        {
+            "extracted_text": extract_text_from_str(F.col("__html_s")),
+            "status": extract_status_from_str(F.col("__html_s")),
+            "lang_header": extract_lang_from_str(F.col("__html_s")),
             "host": host,
             "tld": tld,
             "url_path": path,
         }
-    )
+    ).drop("__html_s")
 
 
 def enrich_stage(

@@ -94,7 +94,12 @@ def _values_cte(name: str, pairs) -> str:
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    """Testdata tables arrive as single parquet files (one scan split);
+    repartition to the session parallelism so per-row compute stages use all
+    cores — at real scale the Iceberg/parquet layout provides the splits and
+    this becomes a no-op choice."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 # ---------------------------------------------------------------------------

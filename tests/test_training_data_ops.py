@@ -1,0 +1,138 @@
+"""Training-data operators: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_translate_spark.functions.text import (
+    fingerprint,
+    hash32,
+    tokens,
+    word_shingles,
+)
+from logstash_filter_translate_spark.multimodal.binary_ops import (
+    decode_image_real,
+    extract_image_features,
+    sample_frames,
+    synthetic_media,
+)
+from logstash_filter_translate_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from logstash_filter_translate_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (3, "completely different text about spark pipelines"),
+        (4, "the  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_fingerprint_normalizes_whitespace(spark, docs):
+    out = {r["doc_id"]: r["dup_cnt"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 3  # 0, 1 and 4 collapse
+    assert out[2] == 1 and out[3] == 1 and out[5] == 1
+    assert 1 not in out and 4 not in out  # min-id kept
+
+
+def test_minhash_near_dups_share_bands(spark, docs):
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (0, 1) in pairs  # identical docs always pair
+    # short doc (<3 tokens) has NULL signature and never pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_identical_docs_equal_hamming_zero(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_ngram_jaccard_counts(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {(r["id_a"], r["id_b"]): (r["n_intersect"], r["n_union"])
+           for r in ngram_jaccard_pairs(docs, "text", "doc_id", pairs).collect()}
+    assert out[(0, 1)][0] == out[(0, 1)][1]  # identical → jaccard 1
+    inter, union = out[(0, 2)]
+    assert 0 < inter < union  # near dup → partial overlap
+    assert out[(0, 3)][0] == 0  # disjoint
+
+
+def test_brute_force_topk_finds_self_similar_vectors(spark):
+    import random
+
+    rnd = random.Random(42)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [(0, base)]
+    rows.append((1, [x + 0.01 for x in base]))  # near neighbor of 0
+    for i in range(2, 30):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=3).collect()
+    assert top[0]["rank"] == 1 and top[0]["vec_id"] == 1
+
+    planes = [[(((i * 37 + p * 17) % 13) - 6) / 6.0 for i in range(16)] for p in range(2)]
+    approx = lsh_topk(emb, queries, planes, k=3).collect()
+    # the near-identical vector lands in the same bucket → still rank 1
+    assert approx[0]["vec_id"] == 1
+
+
+def test_word_shingles_and_hash32_deterministic(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    row = df.select(
+        word_shingles(tokens(F.col("text"))).alias("sh"),
+        hash32(F.lit("hello")).alias("h"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row["sh"] == ["a b c", "b c d"]
+    assert row["h"] == 1564557354  # int('5d41402a', 16)
+    assert row["fp"] == __import__("hashlib").md5(b"a b c d").hexdigest()
+
+
+def test_multimodal_feature_extraction_plumbing(spark):
+    media = synthetic_media(spark, 30)
+    feats = extract_image_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    r = rows[0]
+    assert len(r["feature"]) == 16 and all(0 <= x <= 1 for x in r["feature"])
+    assert r["thumb_width"] >= 1 and r["n_bytes"] > 0
+    # deterministic: rerun yields identical features
+    again = {x["media_id"]: x["content_sha1"] for x in feats.collect()}
+    assert again == {x["media_id"]: x["content_sha1"] for x in rows}
+
+
+def test_multimodal_frame_sampling(spark):
+    media = synthetic_media(spark, 30)
+    frames = sample_frames(media, every_ms=1000)
+    rows = frames.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(rows) == n_videos * 3  # 3000ms / 1000ms
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_real_decoder_is_explicit_stub(spark):
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image_real(b"xx")
