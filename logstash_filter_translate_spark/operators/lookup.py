@@ -144,6 +144,9 @@ class ExactMapLiteral(LookupStrategy):
             )
         self._empty = not entries
         self._map = F.create_map(*entries) if entries else None
+        #: when no value is NULL, `element_at IS NOT NULL` ⇔ matched — one
+        #: map probe instead of two (the scalar fast path uses this)
+        self.has_null_values = any(v is None for v in dedup.values())
 
     def _probe(self, key: Column) -> Tuple[Column, Column]:
         if self._empty:

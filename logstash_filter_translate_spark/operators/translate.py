@@ -186,6 +186,15 @@ class Translate:
         df = df.withColumn(_SKIP, self._skip_gate(df))
         skip = F.col(_SKIP)
 
+        from .lookup import ExactMapLiteral
+
+        if isinstance(self.strategy, ExactMapLiteral):
+            # struct-free fast path: the uniform lookup struct costs one
+            # object per row; for the (hot) exact map-literal plane compute
+            # matched/value/key as plain expressions instead
+            return self._apply_single_map_literal(
+                df, key, skip, route_col, matched_key_col
+            )
         if isinstance(self.strategy, ExactBroadcastJoin):
             df = self.strategy.join(df, key, _RES)
             res = F.col(_RES)
@@ -229,6 +238,58 @@ class Translate:
                 matched_key_col, F.when(res["matched"], res["key"])
             )
         return out.drop(_RES, _SKIP)
+
+    def _apply_single_map_literal(
+        self,
+        df: DataFrame,
+        key: Column,
+        skip: Column,
+        route_col: str,
+        matched_key_col: Optional[str],
+    ) -> DataFrame:
+        cfg = self.config
+        strat = self.strategy  # ExactMapLiteral
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+
+        # stash key+value once; matched derives from them without a struct
+        df = df.withColumn("__lfts_key", key)
+        key = F.col("__lfts_key")
+        if strat._empty:
+            value = F.lit(None).cast(strat.value_type)
+            matched = F.lit(False)
+        else:
+            value = F.element_at(strat._map, F.coalesce(key, F.lit("")))
+            df = df.withColumn("__lfts_val", value)
+            value = F.col("__lfts_val")
+            if strat.has_null_values:
+                matched = F.when(
+                    key.isNotNull(), F.map_contains_key(strat._map, key)
+                ).otherwise(F.lit(False))
+            else:
+                matched = key.isNotNull() & value.isNotNull()
+
+        existing = (
+            F.col(cfg.resolved_target).cast(out_type)
+            if cfg.resolved_target in df.columns
+            else F.lit(None).cast(out_type)
+        )
+        translated = F.when(skip, existing).when(matched, value.cast(out_type))
+        if fb is not None:
+            translated = translated.when(~matched, fb.cast(out_type))
+        translated = translated.otherwise(existing)
+
+        route = (
+            F.when(skip, F.lit(ROUTE_SKIPPED))
+            .when(matched, F.lit(ROUTE_MATCHED))
+            .otherwise(F.lit(ROUTE_FALLBACK if fb is not None else ROUTE_UNMATCHED))
+        )
+        out = df.withColumn(cfg.resolved_target, translated).withColumn(
+            route_col, route
+        )
+        if matched_key_col is not None:
+            out = out.withColumn(matched_key_col, F.when(matched, key))
+        return out.drop(_SKIP, "__lfts_key", "__lfts_val")
 
     # -- O5: array-of-values --------------------------------------------------
     def _apply_array_of_values(self, df: DataFrame, route_col: str) -> DataFrame:
