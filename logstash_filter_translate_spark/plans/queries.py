@@ -705,6 +705,82 @@ SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
 # ---------------------------------------------------------------------------
+# event-time windowed aggregates (streaming semantics, batch-checkable)
+# ---------------------------------------------------------------------------
+
+def q_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-route counts in 1-hour event-time windows — the windowed
+    aggregate of streaming/refresh.windowed_route_counts, batch plane."""
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+        ),
+        spark=spark,
+    )
+    out = op.apply(df)
+    return (
+        out.groupBy(F.window("ts", "1 hour").alias("w"), F.col("route"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "route", "cnt")
+    )
+
+
+SQL_WINDOWED_COUNTS = f"""
+WITH {_values_cte('dict', EVENTS_DICT)}
+SELECT date_trunc('hour', e.ts) AS window_start,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route,
+       COUNT(*) AS cnt
+FROM events e LEFT JOIN dict d ON e.event_type = d.k
+GROUP BY 1, 2
+"""
+
+
+def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured Streaming plane end-to-end: micro-batch the events
+    table through the same translate (foreachBatch + checkpoint), then
+    aggregate the routed sink. Must equal the batch oracle exactly —
+    streaming and batch planes are the same logical plan."""
+    import os
+    import tempfile
+
+    from ..streaming.refresh import StreamingTranslate, run_streaming_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="lfts_stream_q_")
+    st = StreamingTranslate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback=EVENTS_FALLBACK,
+        ),
+        spark,
+    )
+    # FileStreamSource needs a directory; expose the single-file table
+    # through a symlinked dir
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(
+        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
+    )
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = run_streaming_pipeline(
+        spark, stream, st, tmp, f"{tmp}/ckpt", partition_cols=("route",)
+    )
+    q.awaitTermination(300)
+    routed = spark.read.parquet(f"{tmp}/routed")
+    return routed.groupBy("route", "translation").agg(F.count("*").alias("cnt"))
+
+
+# streaming and batch are the same logical plan → same oracle
+SQL_STREAMING_EXACT = SQL_ROUTE_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
 # parse stage (axis B): html render → extract round-trip, byte-identical
 # ---------------------------------------------------------------------------
 
@@ -814,6 +890,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh": q_similarity_lsh,
     "parse_extract": q_parse_extract,
     "pipeline_e2e": q_pipeline_e2e,
+    "windowed_counts": q_windowed_counts,
+    "streaming_exact": q_streaming_exact,
 }
 
 ORACLES: Dict[str, str] = {
@@ -838,4 +916,6 @@ ORACLES: Dict[str, str] = {
     "similarity_lsh": SQL_SIMILARITY_LSH,
     "parse_extract": SQL_PARSE_EXTRACT,
     "pipeline_e2e": SQL_PIPELINE_E2E,
+    "windowed_counts": SQL_WINDOWED_COUNTS,
+    "streaming_exact": SQL_STREAMING_EXACT,
 }
