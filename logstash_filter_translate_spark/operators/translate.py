@@ -451,6 +451,8 @@ class Translate:
         skipped; fallback writes count as matched; NO override gate
         (array_of_maps_value_update.rb:14-38)."""
         cfg = self.config
+        if isinstance(self.strategy, ExactBroadcastJoin):
+            return self._apply_array_of_maps_via_explode(df, route_col)
         arr = F.col(cfg.iterate_on)
         keys = F.transform(arr, lambda m: m.getField(cfg.resolved_source).cast("string"))
         res_arr = self.strategy.expr_array(keys)
@@ -492,6 +494,84 @@ class Translate:
             df.withColumn(cfg.iterate_on, updated_arr)
             .withColumn(route_col, route)
             .drop(_RES)
+        )
+
+
+    def _apply_array_of_maps_via_explode(
+        self, df: DataFrame, route_col: str
+    ) -> DataFrame:
+        """O6 at-scale plane (big dictionary): posexplode the struct array,
+        broadcast-join each element's source field, rebuild the array
+        ordinal-sorted with the target field written (same shape as the O5
+        explode plane)."""
+        cfg = self.config
+        assert isinstance(self.strategy, ExactBroadcastJoin)
+        dict_df = self.strategy.dict_df
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+
+        base = df.withColumn(_ID, F.monotonically_increasing_id())
+        ex = base.select(
+            _ID, F.posexplode(cfg.iterate_on).alias("__lfts_pos", "__lfts_m")
+        )
+        key = F.col("__lfts_m").getField(cfg.resolved_source).cast("string")
+        probed = ex.join(
+            F.broadcast(dict_df), key.eqNullSafe(dict_df["__lfts_k"]), "left"
+        ).withColumn("__lfts_inner", key)
+        hit = F.col("__lfts_k").isNotNull()
+        value = F.when(
+            F.col("__lfts_inner").isNull(), F.lit(None).cast(out_type)
+        ).when(hit, F.col("__lfts_v").cast(out_type))
+        if fb is not None:
+            # fallback templates may reference other columns of the row —
+            # not available post-explode; restrict to constant templates here
+            value = value.otherwise(fb.cast(out_type))
+        updated = F.when(
+            F.col("__lfts_m").isNull(), F.col("__lfts_m").withField(
+                cfg.resolved_target, F.lit(None).cast(out_type)
+            )
+        ).otherwise(
+            F.col("__lfts_m").withField(cfg.resolved_target, value)
+        )
+        elem_matched = F.when(
+            F.col("__lfts_m").isNull() | F.col("__lfts_inner").isNull(),
+            F.lit(False),
+        ).otherwise(hit | F.lit(fb is not None))
+        agg = probed.groupBy(_ID).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__lfts_pos").alias("pos"),
+                        updated.alias("m"),
+                        elem_matched.alias("hit"),
+                    )
+                )
+            ).alias("__lfts_sorted")
+        )
+        joined = base.join(agg, _ID, "left")
+        rebuilt = F.transform(F.col("__lfts_sorted"), lambda s: s["m"])
+        matched_any = F.coalesce(
+            F.exists(F.col("__lfts_sorted"), lambda s: s["hit"]), F.lit(False)
+        )
+        route = (
+            F.when(F.col(cfg.iterate_on).isNull(), F.lit(ROUTE_UNMATCHED))
+            .when(matched_any, F.lit(ROUTE_MATCHED))
+            .otherwise(F.lit(ROUTE_UNMATCHED))
+        )
+        # empty arrays explode to no rows → rebuild them (with the widened
+        # struct type) from the original column so [] stays []
+        empty_shaped = F.transform(
+            F.col(cfg.iterate_on),
+            lambda m: m.withField(cfg.resolved_target, F.lit(None).cast(out_type)),
+        )
+        out_arr = F.when(
+            F.col(cfg.iterate_on).isNotNull(),
+            F.coalesce(rebuilt, empty_shaped),
+        )
+        return (
+            joined.withColumn(cfg.iterate_on, out_arr)
+            .withColumn(route_col, route)
+            .drop(_ID, "__lfts_sorted")
         )
 
 
