@@ -131,6 +131,9 @@ def lsh_candidate_pairs(
         banded = banded.withColumn("__bw", F.count("*").over(w)).filter(
             F.col("__bw") <= max_bucket
         ).drop("__bw")
+    # the self-join would otherwise recompute the whole signature subtree
+    # for both sides (verified via explain) — materialize it once
+    banded = banded.persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
