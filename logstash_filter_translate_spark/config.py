@@ -161,6 +161,36 @@ class TranslateConfig:
         return DEFAULT_YAML_CODE_POINT_LIMIT
 
 
+#: every option name the reference plugin accepts (translate.rb:58-205 +
+#: docs/index.asciidoc:94-113); used by from_plugin_options
+PLUGIN_OPTION_NAMES = {
+    "source", "field", "target", "destination", "override", "dictionary",
+    "dictionary_path", "exact", "regex", "fallback", "refresh_interval",
+    "refresh_behaviour", "iterate_on", "yaml_dictionary_code_point_limit",
+    "yaml_load_strategy", "ecs_compatibility",
+}
+
+
+def from_plugin_options(options: Mapping[str, Any]) -> "TranslateConfig":
+    """Build a config from a reference-style plugin options hash — the same
+    option names, so a logstash-filter-translate user's config block maps
+    1:1 (unknown options raise, like Logstash's config validation).
+
+    ``ecs_compatibility`` accepts the reference's "disabled"/"v1" strings
+    (translate_spec.rb:684-721) or a bool.
+    """
+    unknown = set(options) - PLUGIN_OPTION_NAMES
+    if unknown:
+        raise TranslateConfigError(
+            f"Unknown config option(s) for translate: {sorted(unknown)}"
+        )
+    opts = dict(options)
+    ecs = opts.get("ecs_compatibility", False)
+    if isinstance(ecs, str):
+        opts["ecs_compatibility"] = ecs != "disabled"
+    return TranslateConfig(**opts).validate()
+
+
 def _is_yaml_path(path: str) -> bool:
     lowered = path.lower()
     return lowered.endswith(".yml") or lowered.endswith(".yaml")

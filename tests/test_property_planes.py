@@ -1,0 +1,60 @@
+"""Property-based plane equivalence (hypothesis): random dictionaries and
+inputs must agree across physical planes — the at-scale plane can never
+diverge from the reference-semantics plane."""
+
+import re
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logstash_filter_translate_spark import translate
+from logstash_filter_translate_spark.operators.lookup import UnionSubstitution
+
+KEYS = st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=6)
+VALS = st.text(string.ascii_letters + " ", min_size=0, max_size=8)
+PROP_SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+@given(d=st.dictionaries(KEYS, VALS, min_size=1, max_size=12),
+       probes=st.lists(KEYS | VALS, min_size=1, max_size=12))
+@PROP_SETTINGS
+def test_exact_map_literal_equals_broadcast_join(spark, d, probes):
+    df = spark.createDataFrame([(p,) for p in probes], "k string")
+    a = translate(df, source="k", dictionary=d, fallback="fb", physical="expr")
+    b = translate(df, source="k", dictionary=d, fallback="fb", physical="join")
+    key = lambda r: str(r)
+    assert sorted(map(tuple, a.collect()), key=key) == sorted(
+        map(tuple, b.collect()), key=key
+    )
+
+
+@given(pairs=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8,
+                      unique_by=lambda kv: kv[0]),
+       probes=st.lists(st.text(string.ascii_lowercase + string.digits + " &",
+                               min_size=0, max_size=20),
+                       min_size=1, max_size=8))
+@PROP_SETTINGS
+def test_union_native_plane_matches_python_reference(spark, pairs, probes):
+    """When the native detector accepts a dictionary, the replace chain must
+    equal the single-pass re.sub reference semantics computed in Python."""
+    strat = UnionSubstitution(pairs)
+    if not strat.native:
+        return  # detector refused; UDF plane is definitionally the reference
+    mapping = dict(pairs)
+    pat = re.compile("|".join(re.escape(k) for k, _ in pairs))
+
+    def ref(s):
+        out = pat.sub(lambda m: mapping[m.group(0)], s)
+        return out if out != s else None
+
+    df = spark.createDataFrame([(p,) for p in probes], "s string")
+    got = {r["s"]: r["t"] for r in
+           translate(df, source="s", target="t", dictionary=pairs,
+                     exact=False).collect()}
+    for p in set(probes):
+        assert got[p] == ref(p), (p, pairs)
