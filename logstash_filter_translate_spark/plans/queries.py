@@ -704,6 +704,55 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
+COSINE_DEDUP_THRESHOLD = 0.4
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs plane — the
+    verification stage; at corpus scale candidates come from
+    similarity.lsh_topk's hyperplane buckets instead of the cross join)."""
+    from ..operators.similarity import cosine
+
+    emb = _load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_b") > F.col("id_a"))
+    return (
+        pairs.withColumn("c", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("c") >= COSINE_DEDUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding, b.embedding)
+         / (sqrt(list_dot_product(a.embedding, a.embedding))
+            * sqrt(list_dot_product(b.embedding, b.embedding))) AS c
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+)
+SELECT id_a, id_b FROM p WHERE c >= {COSINE_DEDUP_THRESHOLD}
+"""
+
+
+def q_parse_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same round-trip as parse_extract but through the Arrow pandas-UDF
+    extraction plane (north-star axis B) — same oracle."""
+    from ..functions.html import extract_text_arrow
+
+    pages = _render_pages_from_docs(spark, sf_dir)
+    status = F.element_at(
+        F.array(*[F.lit(s) for s in STATUS_LIST]),
+        (F.pmod(F.col("doc_id"), F.lit(len(STATUS_LIST))) + 1).cast("int"),
+    )
+    return pages.select(
+        "doc_id",
+        extract_text_arrow(F.col("html")).alias("extracted"),
+        status.alias("status"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # event-time windowed aggregates (streaming semantics, batch-checkable)
 # ---------------------------------------------------------------------------
@@ -892,6 +941,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_e2e": q_pipeline_e2e,
     "windowed_counts": q_windowed_counts,
     "streaming_exact": q_streaming_exact,
+    "dedup_embedding_cosine": q_dedup_embedding_cosine,
+    "parse_extract_arrow": q_parse_extract_arrow,
 }
 
 ORACLES: Dict[str, str] = {
@@ -918,4 +969,6 @@ ORACLES: Dict[str, str] = {
     "pipeline_e2e": SQL_PIPELINE_E2E,
     "windowed_counts": SQL_WINDOWED_COUNTS,
     "streaming_exact": SQL_STREAMING_EXACT,
+    "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
+    "parse_extract_arrow": SQL_PARSE_EXTRACT,
 }
