@@ -102,3 +102,27 @@ def test_refresh_noop_without_change(spark, dict_path):
         TranslateConfig(source="k", dictionary_path=dict_path), spark=spark
     )
     assert op.refresh() is False
+
+
+def test_regex_strategy_rebuilt_on_reload(spark, tmp_path):
+    # R7: post-reload strategy rebuild recompiles the pattern table
+    # (fetch_strategy/file.rb:34-40)
+    import os
+
+    p = tmp_path / "re.csv"
+    p.write_text('"^a","first"\n')
+    op = Translate(
+        TranslateConfig(source="k", dictionary_path=str(p), exact=True,
+                        regex=True, refresh_behaviour="replace"),
+        spark=spark,
+    )
+    df = spark.createDataFrame([("abc",), ("zbc",)], "k string")
+    first = {r["k"]: r["translation"] for r in op.apply(df).collect()}
+    assert first == {"abc": "first", "zbc": None}
+
+    p.write_text('"^z","second"\n')
+    st = os.stat(p)
+    os.utime(p, (st.st_atime, st.st_mtime + 2))
+    assert op.refresh() is True
+    second = {r["k"]: r["translation"] for r in op.apply(df).collect()}
+    assert second == {"abc": None, "zbc": "second"}
