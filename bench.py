@@ -111,7 +111,7 @@ def run_scaling() -> dict:
     # interleaved reps with best-of per cell: the sandbox host shows ±50%
     # run-to-run noise, so a single pair is meaningless (BENCH/SWEEP_r1.json
     # has the full 3-rep distribution)
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
     best = {8: None, 32: None}
     for rep in range(reps):
         for cpus in (8, 32):
@@ -188,13 +188,30 @@ def main() -> None:
 
     extras = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        scaling = run_scaling()
-        write_baseline_md(scaling)
-        extras["scaling"] = {
-            "pages_rows": PAGES_ROWS,
-            "local8_pages_per_sec": scaling[8]["pages_per_sec"],
-            "local32_pages_per_sec": scaling[32]["pages_per_sec"],
-            "efficiency_8_to_32": scaling["efficiency_8_to_32"],
+        try:
+            scaling = run_scaling()
+            write_baseline_md(scaling)
+            extras["scaling"] = {
+                "pages_rows": PAGES_ROWS,
+                "local8_pages_per_sec": scaling[8]["pages_per_sec"],
+                "local32_pages_per_sec": scaling[32]["pages_per_sec"],
+                "efficiency_8_to_32": scaling["efficiency_8_to_32"],
+            }
+        except Exception as exc:  # never lose the headline JSON line
+            log(f"scaling phase failed: {exc}")
+            extras["scaling_error"] = str(exc)[:300]
+    # robust reference numbers from the interleaved sweep, if present
+    if os.path.exists("BENCH/SWEEP_r1.json"):
+        with open("BENCH/SWEEP_r1.json") as sf:
+            sw = json.load(sf)
+        extras["sweep"] = {
+            k: sw[k]
+            for k in (
+                "file_efficiency", "file_best_efficiency",
+                "gen_efficiency", "gen_best_efficiency",
+                "file_median_32", "gen_median_32",
+            )
+            if k in sw
         }
 
     print(
