@@ -313,22 +313,55 @@ class Translate:
 
         df = df.withColumn(_SKIP, self._skip_gate(df))
         skip = F.col(_SKIP)
-        res_arr = self.strategy.expr_array(arr_str)
-        df = df.withColumn(_RES, res_arr)
-        res_arr = F.col(_RES)
-
         out_type = self._out_type()
         fb = self._fallback_expr(df)
         fb_elem = fb.cast(out_type) if fb is not None else F.lit(None).cast(out_type)
 
-        target_arr = F.transform(
-            res_arr,
-            lambda s: F.when(s["matched"], s["value"].cast(out_type)).otherwise(
-                fb_elem
-            ),
-        )
-        matched_any = F.exists(res_arr, lambda s: s["matched"])
-        any_error = F.exists(res_arr, lambda s: s["error"].isNotNull())
+        from .lookup import ExactMapLiteral
+
+        if isinstance(self.strategy, ExactMapLiteral):
+            # struct-free fast path: probe the plan-literal map directly per
+            # element instead of building a 4-field struct per element
+            strat = self.strategy
+            df = df.withColumn("__lfts_arr", arr_str)
+            arr_col = F.col("__lfts_arr")
+            if strat._empty:
+                target_arr = F.transform(arr_col, lambda x: fb_elem)
+                matched_any = F.lit(False)
+            else:
+                def elem_matched(x):
+                    if strat.has_null_values:
+                        return F.when(
+                            x.isNotNull(), F.map_contains_key(strat._map, x)
+                        ).otherwise(F.lit(False))
+                    return x.isNotNull() & F.element_at(
+                        strat._map, F.coalesce(x, F.lit(""))
+                    ).isNotNull()
+
+                target_arr = F.transform(
+                    arr_col,
+                    lambda x: F.when(
+                        elem_matched(x),
+                        F.element_at(strat._map, F.coalesce(x, F.lit(""))).cast(
+                            out_type
+                        ),
+                    ).otherwise(fb_elem),
+                )
+                matched_any = F.exists(arr_col, elem_matched)
+            any_error = F.lit(False)
+            res_arr = arr_col  # for size() in the route expression
+        else:
+            res_arr = self.strategy.expr_array(arr_str)
+            df = df.withColumn(_RES, res_arr)
+            res_arr = F.col(_RES)
+            target_arr = F.transform(
+                res_arr,
+                lambda s: F.when(s["matched"], s["value"].cast(out_type)).otherwise(
+                    fb_elem
+                ),
+            )
+            matched_any = F.exists(res_arr, lambda s: s["matched"])
+            any_error = F.exists(res_arr, lambda s: s["error"].isNotNull())
 
         existing_t = (
             F.col(cfg.resolved_target)
@@ -352,7 +385,7 @@ class Translate:
         return (
             df.withColumn(cfg.resolved_target, translated)
             .withColumn(route_col, route)
-            .drop(_RES, _SKIP)
+            .drop(_RES, _SKIP, "__lfts_arr")
         )
 
     def _array_of_values_via_explode(
@@ -453,6 +486,10 @@ class Translate:
         cfg = self.config
         if isinstance(self.strategy, ExactBroadcastJoin):
             return self._apply_array_of_maps_via_explode(df, route_col)
+        from .lookup import ExactMapLiteral
+
+        if isinstance(self.strategy, ExactMapLiteral):
+            return self._apply_array_of_maps_map_literal(df, route_col)
         arr = F.col(cfg.iterate_on)
         keys = F.transform(arr, lambda m: m.getField(cfg.resolved_source).cast("string"))
         res_arr = self.strategy.expr_array(keys)
@@ -496,6 +533,66 @@ class Translate:
             .drop(_RES)
         )
 
+
+    def _apply_array_of_maps_map_literal(
+        self, df: DataFrame, route_col: str
+    ) -> DataFrame:
+        """O6 struct-free fast path: probe the plan-literal map per element
+        inside one transform — no intermediate lookup-struct array."""
+        cfg = self.config
+        strat = self.strategy  # ExactMapLiteral
+        out_type = self._out_type()
+        fb = self._fallback_expr(df)
+
+        def inner_of(m: Column) -> Column:
+            return m.getField(cfg.resolved_source).cast("string")
+
+        def elem_matched(m: Column) -> Column:
+            inner = inner_of(m)
+            if strat._empty:
+                hit = F.lit(False)
+            elif strat.has_null_values:
+                hit = F.when(
+                    inner.isNotNull(), F.map_contains_key(strat._map, inner)
+                ).otherwise(F.lit(False))
+            else:
+                hit = inner.isNotNull() & F.element_at(
+                    strat._map, F.coalesce(inner, F.lit(""))
+                ).isNotNull()
+            return F.when(m.isNull(), F.lit(False)).otherwise(hit)
+
+        def update_elem(m: Column) -> Column:
+            inner = inner_of(m)
+            if strat._empty:
+                value = F.lit(None).cast(out_type)
+                if fb is not None:
+                    value = F.when(inner.isNotNull(), fb.cast(out_type))
+            else:
+                value = F.when(
+                    elem_matched(m),
+                    F.element_at(strat._map, F.coalesce(inner, F.lit(""))).cast(
+                        out_type
+                    ),
+                )
+                if fb is not None:
+                    value = value.when(inner.isNotNull(), fb.cast(out_type))
+            return m.withField(cfg.resolved_target, value)
+
+        arr = F.col(cfg.iterate_on)
+        updated_arr = F.transform(arr, update_elem)
+        matched_elem = lambda m: (
+            elem_matched(m)
+            | (F.lit(fb is not None) & m.isNotNull() & inner_of(m).isNotNull())
+        )
+        matched_any = F.exists(arr, matched_elem)
+        route = (
+            F.when(arr.isNull(), F.lit(ROUTE_UNMATCHED))
+            .when(matched_any, F.lit(ROUTE_MATCHED))
+            .otherwise(F.lit(ROUTE_UNMATCHED))
+        )
+        return df.withColumn(cfg.iterate_on, updated_arr).withColumn(
+            route_col, route
+        )
 
     def _apply_array_of_maps_via_explode(
         self, df: DataFrame, route_col: str
