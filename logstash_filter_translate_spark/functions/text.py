@@ -147,9 +147,50 @@ def quality_score(text: Column) -> Column:
     return (long_enough + low_digit + mean_len_ok).alias("quality_score")
 
 
+#: BPE-ish pre-tokenizer: letter runs | digit runs | punctuation runs —
+#: ASCII subset of the GPT-2 pre-tokenizer pattern, dialect-neutral across
+#: Java regex (Spark) and RE2 (DuckDB)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (DuckDB:
+    ``len(regexp_extract_all(text, pat))``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting
 # ---------------------------------------------------------------------------
+
+ROLLING_B = 131
+ROLLING_P = 2147483647
+ROLLING_WINDOW = 64
+#: B^i mod P for i in 0..63 — plan literals, identical in the SQL oracle
+ROLLING_POWS = []
+_acc = 1
+for _ in range(ROLLING_WINDOW):
+    ROLLING_POWS.append(_acc)
+    _acc = (_acc * ROLLING_B) % ROLLING_P
+
+
+def rolling_fingerprint(text: Column) -> Column:
+    """Polynomial (Rabin-Karp-style) rolling hash of the first 64 chars:
+    ``Σ ascii(ch_i) * B^i  mod P`` — the incremental-update form is what a
+    streaming dedup shingler uses; the fixed-window form here is its
+    oracle-checkable anchor."""
+    pows = F.array(*[F.lit(p) for p in ROLLING_POWS])
+    idx = F.sequence(F.lit(1), F.least(F.length(text), F.lit(ROLLING_WINDOW)))
+    terms = F.transform(
+        idx,
+        lambda i: F.ascii(F.substring(text, 1, ROLLING_WINDOW).substr(i, F.lit(1)))
+        .cast("long")
+        * F.element_at(pows, i),
+    )
+    return F.when(
+        text.isNotNull() & (F.length(text) > 0),
+        F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % ROLLING_P,
+    )
 
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercase text.

@@ -582,6 +582,55 @@ FROM base
 """
 
 
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting (training-data op)."""
+    from ..functions.text import bpe_ish_token_count
+
+    df = _load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (first 64 chars)."""
+    from ..functions.text import rolling_fingerprint
+
+    df = _load(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("rhash")
+    )
+
+
+def _sql_rolling_fingerprint() -> str:
+    from ..functions.text import ROLLING_P, ROLLING_POWS, ROLLING_WINDOW
+
+    pows = "[" + ", ".join(str(p) for p in ROLLING_POWS) + "]"
+    return f"""
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL AND length(text) > 0 THEN
+         list_sum(list_transform(
+           generate_series(1, least(length(text), {ROLLING_WINDOW})),
+           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ({pows})[i]
+         )) % {ROLLING_P}
+       END AS rhash
+FROM documents
+"""
+
+
+SQL_ROLLING_FINGERPRINT = _sql_rolling_fingerprint()
+
+
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return langid_scores(
         _load(spark, sf_dir, "documents"), "text", "doc_id", LANGID_PROFILES
@@ -943,6 +992,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_exact": q_streaming_exact,
     "dedup_embedding_cosine": q_dedup_embedding_cosine,
     "parse_extract_arrow": q_parse_extract_arrow,
+    "token_counts": q_token_counts,
+    "rolling_fingerprint": q_rolling_fingerprint,
 }
 
 ORACLES: Dict[str, str] = {
@@ -971,4 +1022,6 @@ ORACLES: Dict[str, str] = {
     "streaming_exact": SQL_STREAMING_EXACT,
     "dedup_embedding_cosine": SQL_DEDUP_EMBEDDING_COSINE,
     "parse_extract_arrow": SQL_PARSE_EXTRACT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
 }
