@@ -243,10 +243,18 @@ class RegexFirstMatch(LookupStrategy):
         result_type = self._result_type
         ret = T.ArrayType(result_type) if array else result_type
 
-        def lookup_one(s, compiled):
+        def lookup_one(s, compiled, union_pat):
             if s is None:
                 return {"matched": False, "value": None, "key": None, "error": None}
             try:
+                # miss prefilter: one union-regex probe short-circuits the
+                # O(keys) ordered scan for non-matching rows (the "could be
+                # expensive" caveat at translate.rb:143-144)
+                if union_pat is not None and not union_pat.search(s):
+                    return {
+                        "matched": False, "value": None, "key": None,
+                        "error": None,
+                    }
                 for pat, raw_key, val in compiled:
                     if pat.search(s):
                         return {
@@ -264,11 +272,23 @@ class RegexFirstMatch(LookupStrategy):
                     "error": f"{type(exc).__name__}: {exc}",
                 }
 
+        def build():
+            compiled = [(re.compile(k), k, v) for k, v in table]
+            try:
+                union = (
+                    re.compile("|".join(f"(?:{k})" for k, _ in table))
+                    if len(table) > 4
+                    else None
+                )
+            except re.error:
+                union = None  # e.g. mixed flags; fall back to the plain scan
+            return compiled, union
+
         if array:
 
             @pandas_udf(ret)
             def udf(col: pd.Series) -> pd.Series:
-                compiled = [(re.compile(k), k, v) for k, v in table]
+                compiled, union = build()
                 out = []
                 for arr in col:
                     if arr is None:
@@ -277,7 +297,8 @@ class RegexFirstMatch(LookupStrategy):
                         out.append(
                             [
                                 lookup_one(
-                                    None if x is None else str(x), compiled
+                                    None if x is None else str(x), compiled,
+                                    union,
                                 )
                                 for x in arr
                             ]
@@ -288,8 +309,8 @@ class RegexFirstMatch(LookupStrategy):
 
             @pandas_udf(ret)
             def udf(col: pd.Series) -> pd.DataFrame:
-                compiled = [(re.compile(k), k, v) for k, v in table]
-                rows = [lookup_one(s, compiled) for s in col]
+                compiled, union = build()
+                rows = [lookup_one(s, compiled, union) for s in col]
                 return pd.DataFrame(rows)
 
         return udf
