@@ -83,6 +83,71 @@ def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     return bucket
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cell assignment: nearest centroid by cosine (ties → lowest
+    centroid id). Returns (id_col, cell). Centroids are broadcast; the
+    argmax is a per-vector window over |centroids| scored rows — at corpus
+    scale this is the one-off indexing pass whose output is written
+    partitioned by cell."""
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = vectors.select(id_col, vec_col).join(F.broadcast(c)).select(
+        id_col,
+        F.col("__cid"),
+        cosine(F.col(vec_col), F.col("__cvec")).alias("__cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("__cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: score only within the query's cell.
+    The scale path writes the corpus bucketed by cell so a query touches one
+    partition; here cells come from ivf_assign inline."""
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = corpus.join(corpus_cells, id_col)
+    q_cells = ivf_assign(
+        queries.select(F.col(query_id_col).alias(id_col), vec_col),
+        centroids,
+        id_col,
+        vec_col,
+    ).select(F.col(id_col).alias(query_id_col), "cell")
+    qb = queries.join(q_cells, query_id_col).select(
+        query_id_col, F.col(vec_col).alias("__qvec"), "cell"
+    )
+    scored = cb.join(F.broadcast(qb), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -753,6 +753,65 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
+IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
+
+
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF(nprobe=1) top-k: deterministic centroids (vec_id % step == 0),
+    nearest-centroid cells, search within the query's cell."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, k=5)
+
+
+SQL_SIMILARITY_IVF = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id % {IVF_CENTROID_STEP} = 0
+),
+scored_cells AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.embedding, c.cvec)
+         / (sqrt(list_dot_product(e.embedding, e.embedding))
+            * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs
+  FROM embeddings e, cent c
+),
+cells AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+    FROM scored_cells
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, cl.cell
+  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+  WHERE e.vec_id < 3
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_dot_product(c.embedding, q.qe)
+         / (sqrt(list_dot_product(c.embedding, c.embedding))
+            * sqrt(list_dot_product(q.qe, q.qe))) AS score
+  FROM embeddings c
+  JOIN cells cc ON cc.vec_id = c.vec_id
+  JOIN q ON q.cell = cc.cell
+  WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
 COSINE_DEDUP_THRESHOLD = 0.4
 
 
@@ -994,6 +1053,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_extract_arrow": q_parse_extract_arrow,
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
+    "similarity_ivf": q_similarity_ivf,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1024,4 +1084,5 @@ ORACLES: Dict[str, str] = {
     "parse_extract_arrow": SQL_PARSE_EXTRACT,
     "token_counts": SQL_TOKEN_COUNTS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
+    "similarity_ivf": SQL_SIMILARITY_IVF,
 }
