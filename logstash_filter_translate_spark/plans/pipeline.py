@@ -78,6 +78,8 @@ class PipelineConfig:
     collab_fallback: str = "unknown"
     use_arrow_extract: bool = False
     exact_physical: Optional[str] = None  # None=auto, 'expr'|'join'
+    #: header-field regexes scan only this prefix of the decoded html
+    head_window: int = 1024
 
 
 def parse_stage(pages: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -100,13 +102,16 @@ def parse_stage(pages: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Dat
         )
     # decode the binary ONCE into a temp column — three regexes then share
     # the same string instead of re-decoding (1/3 the allocation rate; GC is
-    # the scaling bottleneck of this stage)
+    # the scaling bottleneck of this stage). Header-field regexes scan only
+    # the <head> prefix window — meta tags live there by construction
+    # (plans/pages.py template) and in practice near the top of real pages.
     s = pages.withColumn("__html_s", html_str(F.col("html")))
+    head = F.substring(F.col("__html_s"), 1, cfg.head_window)
     return s.withColumns(
         {
             "extracted_text": extract_text_from_str(F.col("__html_s")),
-            "status": extract_status_from_str(F.col("__html_s")),
-            "lang_header": extract_lang_from_str(F.col("__html_s")),
+            "status": extract_status_from_str(head),
+            "lang_header": extract_lang_from_str(head),
             "host": host,
             "tld": tld,
             "url_path": path,
