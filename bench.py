@@ -45,6 +45,7 @@ HEADLINE = [
     "fingerprint",
     "similarity_topk",
     "similarity_lsh",
+    "similarity_ivf",
     "parse_extract",
     "parse_extract_arrow",
     "pipeline_e2e",
