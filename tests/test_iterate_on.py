@@ -135,3 +135,30 @@ def test_array_of_values_scalar_source_wrapped(spark):
     out = translate(df, source="foo", iterate_on="foo", target="baz",
                     dictionary=TAG_MAP)
     assert out.collect()[0]["baz"] == ["val-9-1|val-9-2"]
+
+
+def test_iterate_values_with_regex_mode(spark):
+    # iterate_on composes with the regex fetch strategy (updater and
+    # strategy are orthogonal, translate.rb:244-250)
+    df = spark.createDataFrame([(["200", "x404y", "zzz"],)], "foo array<string>")
+    out = translate(
+        df, source="foo", iterate_on="foo", target="baz",
+        dictionary=[("^2[0-9][0-9]$", "OK"), ("404", "Not Found")],
+        exact=True, regex=True, fallback="fb",
+    )
+    row = out.collect()[0]
+    assert row["baz"] == ["OK", "Not Found", "fb"]
+    assert row["route"] == ROUTE_MATCHED
+
+
+def test_iterate_maps_with_union_mode(spark):
+    df = spark.createDataFrame(
+        [([{"bar": "a 200 b"}, {"bar": "none"}],)],
+        "foo array<struct<bar:string>>",
+    )
+    out = translate(
+        df, source="bar", iterate_on="foo", target="baz",
+        dictionary=[("200", "OK")], exact=False,
+    )
+    row = out.collect()[0]
+    assert [m["baz"] for m in row["foo"]] == ["a OK b", None]
