@@ -25,6 +25,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def rp(p):
+    """repo-relative path (bench may be invoked from any cwd)"""
+    return os.path.join(REPO, p)
 
 HEADLINE = [
     "exact_events",
@@ -90,7 +96,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
 def _scalebench(args: list) -> dict:
     import subprocess
 
-    cmd = [sys.executable, os.path.join("tools", "scalebench.py")] + args
+    cmd = [sys.executable, os.path.join(REPO, "tools", "scalebench.py")] + args
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
     if out.returncode != 0:
         raise RuntimeError(f"scalebench failed: {out.stderr[-2000:]}")
@@ -133,7 +139,7 @@ def run_scaling() -> dict:
     # best-known across rounds: peak measured throughput per cluster size
     # (a single noisy host window must not erase measured capability);
     # efficiency derives from the two peaks — the fair pairing
-    best_path = "BENCH/best_scaling.json"
+    best_path = rp("BENCH/best_scaling.json")
     prior = {}
     if os.path.exists(best_path):
         with open(best_path) as fh:
@@ -154,7 +160,7 @@ def run_scaling() -> dict:
         / 4.0,
         3,
     )
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(rp("BENCH"), exist_ok=True)
     with open(best_path, "w") as fh:
         json.dump(merged, fh)
     results["best_known"] = merged
@@ -162,7 +168,7 @@ def run_scaling() -> dict:
 
 
 def write_baseline_md(scaling: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
+    os.makedirs(rp("BENCH"), exist_ok=True)
     best = scaling.get("best_known")
     if best is not None:
         # report the best measured capability; this run's (noisier) pair is
@@ -172,7 +178,7 @@ def write_baseline_md(scaling: dict) -> None:
     else:
         r8, r32 = scaling[8], scaling[32]
         eff = scaling["efficiency_8_to_32"]
-    with open("BENCH/BASELINE.md", "w") as fh:
+    with open(rp("BENCH/BASELINE.md"), "w") as fh:
         fh.write(
             "# BENCH/BASELINE — scaling evidence (sandbox protocol)\n\n"
             "Identical parse→enrich→route→aggregate job (metrics-only sinks)\n"
@@ -198,7 +204,7 @@ def write_baseline_md(scaling: dict) -> None:
             "generated in-plan, no sandboxed-filesystem reads) isolates the\n"
             "engine's own scaling from host I/O virtualization.\n"
         )
-        sweep_path = "BENCH/SWEEP_r1.json"
+        sweep_path = rp("BENCH/SWEEP_r1.json")
         if os.path.exists(sweep_path):
             with open(sweep_path) as sweep_fh:
                 sweep = json.load(sweep_fh)
@@ -217,7 +223,7 @@ def write_baseline_md(scaling: dict) -> None:
                 "documenting the variance the efficiency number is subject "
                 "to.\n"
             )
-        micro_path = "BENCH/MICRO_r1.json"
+        micro_path = rp("BENCH/MICRO_r1.json")
         if os.path.exists(micro_path):
             with open(micro_path) as micro_fh:
                 micro = json.load(micro_fh)
@@ -269,8 +275,8 @@ def main() -> None:
             log(f"scaling phase failed: {exc}")
             extras["scaling_error"] = str(exc)[:300]
     # robust reference numbers from the interleaved sweep, if present
-    if os.path.exists("BENCH/SWEEP_r1.json"):
-        with open("BENCH/SWEEP_r1.json") as sweep_fh:
+    if os.path.exists(rp("BENCH/SWEEP_r1.json")):
+        with open(rp("BENCH/SWEEP_r1.json")) as sweep_fh:
             sw = json.load(sweep_fh)
         extras["sweep"] = {
             k: sw[k]
