@@ -753,6 +753,60 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: keep documents that pass the
+    quality gate, have a recognized language profile, and are the canonical
+    copy under exact dedup — the end-to-end 'clean the corpus' pipeline."""
+    from ..functions.text import quality_score
+    from ..operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    lang = langid_scores(docs, "text", "doc_id", LANGID_PROFILES)
+    keep_ids = exact_dedup(docs, "text", "doc_id").select("doc_id")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .join(lang, "doc_id")
+        .join(keep_ids, "doc_id")  # canonical copies only
+        .filter((F.col("q") >= 2) & (F.col("lang_id") != "und"))
+        .select("doc_id", "lang", "lang_id", F.col("q").alias("quality_score"))
+    )
+
+
+def _sql_corpus_filter() -> str:
+    langid_cte = SQL_LANGID.strip().rstrip("\n")
+    # reuse the langid SQL as a subquery
+    return f"""
+WITH lang_ids AS ({langid_cte}),
+quality AS (
+  SELECT doc_id,
+         (CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) >= 10 THEN 1 ELSE 0 END
+          + CASE WHEN (length(text) - length(regexp_replace(text,'[0-9]','','g'))) * 10 < length(text) THEN 1 ELSE 0 END
+          + CASE WHEN len(list_filter(string_split(text,' '), x -> x <> '')) > 0
+                 AND (CAST(length(replace(text,' ','')) AS DOUBLE)
+                      / len(list_filter(string_split(text,' '), x -> x <> ''))) BETWEEN 2.0 AND 12.0
+                 THEN 1 ELSE 0 END) AS q
+  FROM documents
+),
+canonical AS (
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY md5(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+)
+SELECT d.doc_id, d.lang, l.lang_id, q.q AS quality_score
+FROM documents d
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN lang_ids l ON l.doc_id = d.doc_id
+JOIN canonical c ON c.doc_id = d.doc_id
+WHERE q.q >= 2 AND l.lang_id <> 'und'
+"""
+
+
+SQL_CORPUS_FILTER = _sql_corpus_filter()
+
+
 IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
 
 
@@ -1054,6 +1108,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "similarity_ivf": q_similarity_ivf,
+    "corpus_filter": q_corpus_filter,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1085,4 +1140,5 @@ ORACLES: Dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "similarity_ivf": SQL_SIMILARITY_IVF,
+    "corpus_filter": SQL_CORPUS_FILTER,
 }
