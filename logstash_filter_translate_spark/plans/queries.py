@@ -616,13 +616,16 @@ def _sql_rolling_fingerprint() -> str:
     from ..functions.text import ROLLING_P, ROLLING_POWS, ROLLING_WINDOW
 
     pows = "[" + ", ".join(str(p) for p in ROLLING_POWS) + "]"
+    # CAST ... AS BIGINT: DuckDB's list_sum yields HUGEINT, which pandas
+    # materializes as float64 — the driver's value hash then sees 1.0 vs 1
+    # (round-1 CORRECTNESS failure); Spark's sum is int64
     return f"""
 SELECT doc_id,
        CASE WHEN text IS NOT NULL AND length(text) > 0 THEN
-         list_sum(list_transform(
+         CAST(list_sum(list_transform(
            generate_series(1, least(length(text), {ROLLING_WINDOW})),
            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ({pows})[i]
-         )) % {ROLLING_P}
+         )) % {ROLLING_P} AS BIGINT)
        END AS rhash
 FROM documents
 """

@@ -20,6 +20,24 @@ TABLES = [
 ]
 
 
+def dtype_classes(df):
+    """Per-column dtype class (int/float/bool/str/other), sorted by column.
+
+    The driver's value hash is dtype-sensitive: an oracle column that pandas
+    materializes as float64 (e.g. DuckDB HUGEINT) hash-mismatches a Spark
+    int64 even when every value is integral. canon() coerces integer-valued
+    floats for robust VALUE comparison, so this separate check reproduces
+    the driver's stricter behavior (round-1 rolling_fingerprint lesson)."""
+    classes = {}
+    for col in sorted(df.columns):
+        k = df[col].dtype.kind  # i/u int, f float, b bool, O object, M dt
+        classes[col] = {
+            "i": "int", "u": "int", "f": "float", "b": "bool",
+            "O": "object", "M": "datetime",
+        }.get(k, k)
+    return classes
+
+
 def canon(df):
     """pandas frame → sorted list of row tuples with canonical values."""
     import pandas as pd
@@ -102,6 +120,14 @@ def main():
         orows, ocols = canon(odf)
         if scols != ocols:
             print(f"FAIL {name}: columns differ spark={scols} oracle={ocols}")
+            failures += 1
+            continue
+        sdt, odt = dtype_classes(sdf), dtype_classes(odf)
+        if sdt != odt:
+            bad = {
+                c: (sdt[c], odt[c]) for c in sdt if sdt[c] != odt.get(c)
+            }
+            print(f"FAIL {name}: dtype classes differ (spark, oracle): {bad}")
             failures += 1
             continue
         if len(srows) != len(orows):
