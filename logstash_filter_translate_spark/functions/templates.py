@@ -29,6 +29,23 @@ def _field_to_column(name: str) -> Column:
     return F.col(name)
 
 
+def sprintf_fields(template: str) -> List[str]:
+    """Top-level column names a ``%{field}`` template references (nested
+    ``[a][b]`` refs report the top-level ``a``). Used to carry exactly the
+    referenced columns through explode planes."""
+    out: List[str] = []
+    for m in _FIELD_REF.finditer(template):
+        name = m.group(1)
+        top = (
+            name[1:].split("]", 1)[0]
+            if name.startswith("[")
+            else name.split("[", 1)[0]
+        )
+        if top and top not in out:
+            out.append(top)
+    return out
+
+
 def compile_sprintf(template: str, columns: Optional[List[str]] = None) -> Column:
     """Compile a sprintf template to a Column.
 

@@ -232,14 +232,22 @@ class RegexFirstMatch(LookupStrategy):
         self._table: List[Tuple[str, Any]] = [(str(k), conv(v)) for k, v in pairs]
         # fail fast at plan time on invalid patterns (reference raises at
         # register when compiling — fetch_strategy/memory.rb:22)
-        for k, _ in self._table:
-            re.compile(k)
+        compiled_probe = [re.compile(k) for k, _ in self._table]
+        # the union prefilter concatenates patterns, which RENUMBERS
+        # capturing groups — a pattern using a backreference (e.g. (a)\1)
+        # would silently never match in the union and short-circuit to a
+        # false miss. Decide safety once at plan time and ship the flag.
+        self._union_ok = len(self._table) > 4 and not any(
+            c.groups > 0 or re.search(r"\\\d", k)
+            for c, (k, _) in zip(compiled_probe, self._table)
+        )
         self._result_type = lookup_result_type(self.value_type)
         self._scalar_udf = self._build_udf(array=False)
         self._array_udf = self._build_udf(array=True)
 
     def _build_udf(self, array: bool):
         table = self._table
+        union_ok = self._union_ok
         result_type = self._result_type
         ret = T.ArrayType(result_type) if array else result_type
 
@@ -277,7 +285,7 @@ class RegexFirstMatch(LookupStrategy):
             try:
                 union = (
                     re.compile("|".join(f"(?:{k})" for k, _ in table))
-                    if len(table) > 4
+                    if union_ok
                     else None
                 )
             except re.error:
@@ -368,17 +376,39 @@ class UnionSubstitution(LookupStrategy):
         self._scalar_udf = None if self.native else self._build_udf(array=False)
         self._array_udf = None if self.native else self._build_udf(array=True)
 
+    #: above this many keys the pairwise equivalence proof (O(n²·keylen))
+    #: is too expensive at plan time AND the nested replace-chain expression
+    #: tree would be unreasonable — always use the Arrow UDF plane
+    NATIVE_MAX_KEYS = 64
+
     def _native_safe(self) -> bool:
         """True when a sequential JVM ``replace`` chain is provably
-        equivalent to the single-pass union sub: keys must not be able to
-        overlap each other in any text (no substring relations, no
-        suffix-of-one == prefix-of-another) and no value may contain any
-        key (no re-triggering). Then each source position is consumed by at
-        most one key and pass order cannot matter. The JVM plane keeps this
-        hot path inside whole-stage codegen — the Arrow UDF plane is the
-        fallback for interacting dictionaries."""
+        equivalent to the single-pass union sub.
+
+        Conditions (all rejections, conservative):
+          - keys must not overlap each other in any text (no substring
+            relations, no suffix-of-one == prefix-of-another) — otherwise
+            pass order vs alternation order diverge;
+          - no replacement VALUE may overlap any key in any way (key inside
+            value, value inside key, value-suffix == key-prefix, key-suffix
+            == value-prefix) — otherwise an inserted value can combine with
+            adjacent original text to form a later key that the sequential
+            chain replaces but the single-pass gsub (which never rescans
+            replaced output) does not. Example: dict [("ab","c"),("cd","z")]
+            on "abd" — chain gives "z", single-pass gives "cd".
+
+        Then each source position is consumed by at most one key, replaced
+        output can never re-trigger, and pass order cannot matter. The JVM
+        plane keeps this hot path inside whole-stage codegen — the Arrow UDF
+        plane is the fallback for interacting dictionaries (and for big
+        dictionaries, where the pairwise proof itself would hang plan time).
+        """
         keys = [k for k, _ in self._table]
         vals = [v for _, v in self._table]
+        if len(keys) > self.NATIVE_MAX_KEYS:
+            return False
+        if any(k == "" for k in keys):
+            return False
         for i, a in enumerate(keys):
             for j, b in enumerate(keys):
                 if i == j:
@@ -388,10 +418,23 @@ class UnionSubstitution(LookupStrategy):
                 for cut in range(1, min(len(a), len(b))):
                     if a[-cut:] == b[:cut]:
                         return False
+        # an empty value DELETES the key, merging the adjacent original
+        # texts — a later key can match across that junction without ever
+        # overlapping the (empty) inserted value, so the boundary checks
+        # below are blind to it; only a single-key dictionary is safe
+        if any(v == "" for v in vals) and len(keys) > 1:
+            return False
         for v in vals:
+            if not v:
+                continue
             for k in keys:
-                if k in v:
+                if k in v or v in k:
                     return False
+                for cut in range(1, min(len(k), len(v))):
+                    if v[-cut:] == k[:cut]:  # value tail + original = key
+                        return False
+                    if k[-cut:] == v[:cut]:  # original + value head = key
+                        return False
         return True
 
     def native_expr(self, key: Column) -> Column:

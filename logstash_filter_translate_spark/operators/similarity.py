@@ -91,9 +91,10 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: nearest centroid by cosine (ties → lowest
     centroid id). Returns (id_col, cell). Centroids are broadcast; the
-    argmax is a per-vector window over |centroids| scored rows — at corpus
-    scale this is the one-off indexing pass whose output is written
-    partitioned by cell."""
+    argmax is a ``max_by`` partial aggregate — the n×|centroids| scored
+    expansion is reduced MAP-SIDE (partial HashAggregate), so the shuffle
+    carries one (id, best-cell) pair per vector instead of the full
+    expansion a window row_number would shuffle."""
     c = centroids.select(
         F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
     )
@@ -102,11 +103,12 @@ def ivf_assign(
         F.col("__cid"),
         cosine(F.col(vec_col), F.col("__cvec")).alias("__cs"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cs"), F.asc("__cid"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("__cid").alias("cell"))
+    # argmax as max of struct(score, -cid): ties on score break to the
+    # LOWEST centroid id, matching ORDER BY cs DESC, cid ASC
+    return scored.groupBy(id_col).agg(
+        F.max_by(
+            F.col("__cid"), F.struct(F.col("__cs"), (-F.col("__cid")).alias("__t"))
+        ).alias("cell")
     )
 
 

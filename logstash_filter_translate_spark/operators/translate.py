@@ -122,23 +122,56 @@ class Translate:
         df: DataFrame,
         route_col: str = "route",
         matched_key_col: Optional[str] = None,
+        iterate_key: Optional[str] = None,
     ) -> DataFrame:
+        """``iterate_key``: a column that uniquely identifies each row (a
+        natural key — every real table has one). The big-dictionary explode
+        planes join the rebuilt arrays back on it, keeping the shuffle
+        deterministic and narrow; without it they fall back to
+        ``monotonically_increasing_id`` over a localCheckpoint'ed input
+        (correct but materializes the frame — pass the key at scale)."""
         cfg = self.config
         if cfg.iterate_on is None:
             return self._apply_single(df, route_col, matched_key_col)
         if cfg.iterate_on == cfg.resolved_source:
-            return self._apply_array_of_values(df, route_col)
-        return self._apply_array_of_maps(df, route_col)
+            return self._apply_array_of_values(df, route_col, iterate_key)
+        return self._apply_array_of_maps(df, route_col, iterate_key)
+
+    def _row_id(self, df: DataFrame, iterate_key: Optional[str]):
+        """(base_df, id_col) for the explode planes' join-back. A caller
+        key avoids both the synthetic-id determinism hazard (ids computed
+        in two plan branches can diverge on non-deterministic scans / task
+        retries) and the localCheckpoint materialization."""
+        if iterate_key is not None:
+            if iterate_key not in df.columns:
+                raise ValueError(
+                    f"iterate_key column {iterate_key!r} not in DataFrame"
+                )
+            return df, iterate_key
+        base = df.withColumn(_ID, F.monotonically_increasing_id())
+        # pin the ids: the explode plane references this frame in two plan
+        # branches (explode side + join-back side); localCheckpoint makes
+        # the id assignment happen exactly once
+        return base.localCheckpoint(eager=False), _ID
 
     # -- helpers -------------------------------------------------------------
     def _coerce_single_key(self, df: DataFrame) -> Column:
         """String-coerce the probe value: arrays use their first element
-        (single_value_update.rb:5-13)."""
+        (single_value_update.rb:5-13). ``try_element_at`` (NOT element_at)
+        because Spark 4.1 ANSI mode throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT
+        on an empty array; the reference coerces ``[].first.to_s`` (and a
+        nil first element) to "" and proceeds — a NULL array stays NULL
+        (missing field → no lookup)."""
         src = self.config.resolved_source
         dtype = dict(df.dtypes).get(src)
         col = F.col(src)
         if dtype is not None and dtype.startswith("array"):
-            col = F.element_at(col, 1)
+            return F.when(
+                col.isNotNull(),
+                F.coalesce(
+                    F.try_element_at(col, F.lit(1)).cast("string"), F.lit("")
+                ),
+            )
         return col.cast("string")
 
     def _skip_gate(self, df: DataFrame) -> Column:
@@ -292,7 +325,12 @@ class Translate:
         return out.drop(_SKIP, "__lfts_key", "__lfts_val")
 
     # -- O5: array-of-values --------------------------------------------------
-    def _apply_array_of_values(self, df: DataFrame, route_col: str) -> DataFrame:
+    def _apply_array_of_values(
+        self,
+        df: DataFrame,
+        route_col: str,
+        iterate_key: Optional[str] = None,
+    ) -> DataFrame:
         """iterate_on == source: per-element lookup, ordinal-preserving,
         fallback prefilled at every miss position, target always written
         (array_of_values_update.rb:29-45)."""
@@ -309,7 +347,9 @@ class Translate:
         arr_str = F.transform(arr, lambda x: x.cast("string"))
 
         if isinstance(self.strategy, ExactBroadcastJoin):
-            return self._array_of_values_via_explode(df, arr_str, route_col)
+            return self._array_of_values_via_explode(
+                df, arr_str, route_col, iterate_key
+            )
 
         df = df.withColumn(_SKIP, self._skip_gate(df))
         skip = F.col(_SKIP)
@@ -389,16 +429,21 @@ class Translate:
         )
 
     def _array_of_values_via_explode(
-        self, df: DataFrame, arr_str: Column, route_col: str
+        self,
+        df: DataFrame,
+        arr_str: Column,
+        route_col: str,
+        iterate_key: Optional[str] = None,
     ) -> DataFrame:
         """At-scale plane for O5 with a big dictionary: posexplode →
         broadcast hash join → collect_list(struct(pos, val)) → array_sort —
         ordinals restored by position, not by shuffle luck (the north-star's
         explode+join+collect_list pipeline).
 
-        Row identity uses monotonically_increasing_id computed once before
-        the self-join; the input must be a deterministic scan (parquet/
-        Iceberg), which holds for our sources.
+        Row identity: ``iterate_key`` (a caller natural key) when given —
+        the aggregate then carries only (key, pos, matched, value) and the
+        join-back is on a real column; otherwise a pinned
+        monotonically_increasing_id (see _row_id).
         """
         cfg = self.config
         assert isinstance(self.strategy, ExactBroadcastJoin)
@@ -407,21 +452,20 @@ class Translate:
         fb = self._fallback_expr(df)
         fb_elem = fb.cast(out_type) if fb is not None else F.lit(None).cast(out_type)
 
-        base = (
-            df.withColumn(_SKIP, self._skip_gate(df))
-            .withColumn(_ID, F.monotonically_increasing_id())
-            .withColumn("__lfts_arr", arr_str)
+        base, id_col = self._row_id(
+            df.withColumn(_SKIP, self._skip_gate(df)), iterate_key
         )
+        base = base.withColumn("__lfts_arr", arr_str)
         skip = F.col(_SKIP)
         ex = base.select(
-            _ID, F.posexplode("__lfts_arr").alias("__lfts_pos", "__lfts_elem")
+            id_col, F.posexplode("__lfts_arr").alias("__lfts_pos", "__lfts_elem")
         )
         probed = ex.join(
             F.broadcast(dict_df),
             ex["__lfts_elem"].eqNullSafe(dict_df["__lfts_k"]),
             "left",
         )
-        agg = probed.groupBy(_ID).agg(
+        agg = probed.groupBy(id_col).agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -432,7 +476,7 @@ class Translate:
                 )
             ).alias("__lfts_sorted")
         )
-        joined = base.join(agg, _ID, "left")
+        joined = base.join(agg, id_col, "left")
         res_arr = F.coalesce(
             F.col("__lfts_sorted"),
             F.array().cast(
@@ -478,14 +522,22 @@ class Translate:
         )
 
     # -- O6: array-of-maps -----------------------------------------------------
-    def _apply_array_of_maps(self, df: DataFrame, route_col: str) -> DataFrame:
+
+    def _apply_array_of_maps(
+        self,
+        df: DataFrame,
+        route_col: str,
+        iterate_key: Optional[str] = None,
+    ) -> DataFrame:
         """iterate_on != source: for each struct element, look up
         ``elem[source]`` and write ``elem[target]``; nil elements/values are
         skipped; fallback writes count as matched; NO override gate
         (array_of_maps_value_update.rb:14-38)."""
         cfg = self.config
         if isinstance(self.strategy, ExactBroadcastJoin):
-            return self._apply_array_of_maps_via_explode(df, route_col)
+            return self._apply_array_of_maps_via_explode(
+                df, route_col, iterate_key
+            )
         from .lookup import ExactMapLiteral
 
         if isinstance(self.strategy, ExactMapLiteral):
@@ -595,21 +647,39 @@ class Translate:
         )
 
     def _apply_array_of_maps_via_explode(
-        self, df: DataFrame, route_col: str
+        self,
+        df: DataFrame,
+        route_col: str,
+        iterate_key: Optional[str] = None,
     ) -> DataFrame:
         """O6 at-scale plane (big dictionary): posexplode the struct array,
         broadcast-join each element's source field, rebuild the array
         ordinal-sorted with the target field written (same shape as the O5
-        explode plane)."""
+        explode plane). Fallback ``%{field}`` templates that reference row
+        columns work: exactly the referenced columns are carried through
+        the explode (the reference sprintf's against the full event —
+        array_of_maps_value_update.rb:32-35)."""
+        from ..functions.templates import sprintf_fields
+
         cfg = self.config
         assert isinstance(self.strategy, ExactBroadcastJoin)
         dict_df = self.strategy.dict_df
         out_type = self._out_type()
         fb = self._fallback_expr(df)
+        # columns the fallback template references — carried through the
+        # explode so the post-explode sprintf sees them
+        fb_cols = (
+            [c for c in sprintf_fields(cfg.fallback) if c in df.columns]
+            if cfg.fallback is not None
+            else []
+        )
 
-        base = df.withColumn(_ID, F.monotonically_increasing_id())
+        base, id_col = self._row_id(df, iterate_key)
+        carry = [c for c in fb_cols if c != id_col]
         ex = base.select(
-            _ID, F.posexplode(cfg.iterate_on).alias("__lfts_pos", "__lfts_m")
+            id_col,
+            *carry,
+            F.posexplode(cfg.iterate_on).alias("__lfts_pos", "__lfts_m"),
         )
         key = F.col("__lfts_m").getField(cfg.resolved_source).cast("string")
         probed = ex.join(
@@ -620,8 +690,6 @@ class Translate:
             F.col("__lfts_inner").isNull(), F.lit(None).cast(out_type)
         ).when(hit, F.col("__lfts_v").cast(out_type))
         if fb is not None:
-            # fallback templates may reference other columns of the row —
-            # not available post-explode; restrict to constant templates here
             value = value.otherwise(fb.cast(out_type))
         updated = F.when(
             F.col("__lfts_m").isNull(), F.col("__lfts_m").withField(
@@ -634,7 +702,7 @@ class Translate:
             F.col("__lfts_m").isNull() | F.col("__lfts_inner").isNull(),
             F.lit(False),
         ).otherwise(hit | F.lit(fb is not None))
-        agg = probed.groupBy(_ID).agg(
+        agg = probed.groupBy(id_col).agg(
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -645,7 +713,7 @@ class Translate:
                 )
             ).alias("__lfts_sorted")
         )
-        joined = base.join(agg, _ID, "left")
+        joined = base.join(agg, id_col, "left")
         rebuilt = F.transform(F.col("__lfts_sorted"), lambda s: s["m"])
         matched_any = F.coalesce(
             F.exists(F.col("__lfts_sorted"), lambda s: s["hit"]), F.lit(False)
@@ -678,9 +746,15 @@ def translate(
     route_col: str = "route",
     matched_key_col: Optional[str] = None,
     physical: Optional[str] = None,
+    iterate_key: Optional[str] = None,
     **config_kwargs,
 ) -> DataFrame:
     """Functional convenience: ``translate(df, source=..., dictionary=...)``."""
     cfg = TranslateConfig(**config_kwargs)
     op = Translate(cfg, spark=spark or df.sparkSession, physical=physical)
-    return op.apply(df, route_col=route_col, matched_key_col=matched_key_col)
+    return op.apply(
+        df,
+        route_col=route_col,
+        matched_key_col=matched_key_col,
+        iterate_key=iterate_key,
+    )

@@ -873,32 +873,44 @@ COSINE_DEDUP_THRESHOLD = 0.4
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs plane — the
-    verification stage; at corpus scale candidates come from
-    similarity.lsh_topk's hyperplane buckets instead of the cross join)."""
-    from ..operators.similarity import cosine
+    """Embedding-cosine near-dup pairs, hyperplane-LSH bucket prefilter +
+    exact-cosine verify on candidates only — the scale-safe plan (the
+    round-1 all-pairs cross join was quadratic; this self-joins on equal
+    bucket, shrinking candidates to Σ bucket²). The oracle applies the
+    identical bucket expression in SQL."""
+    from ..operators.dedup import embedding_cosine_pairs
 
     emb = _load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_b") > F.col("id_a"))
-    return (
-        pairs.withColumn("c", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("c") >= COSINE_DEDUP_THRESHOLD)
-        .select("id_a", "id_b")
+    return embedding_cosine_pairs(
+        emb, LSH_PLANES, COSINE_DEDUP_THRESHOLD
     )
 
 
-SQL_DEDUP_EMBEDDING_COSINE = f"""
-WITH p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_dot_product(a.embedding, b.embedding)
+def _sql_dedup_embedding_cosine() -> str:
+    def plane_lit(p):
+        return "[" + ", ".join(f"{x}" for x in p) + "]"
+
+    bucket = " + ".join(
+        f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane_lit(p)}) >= 0 "
+        f"THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(LSH_PLANES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         list_dot_product(a.embedding, c.embedding)
          / (sqrt(list_dot_product(a.embedding, a.embedding))
-            * sqrt(list_dot_product(b.embedding, b.embedding))) AS c
-  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+            * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+  FROM b a JOIN b c ON a.bucket = c.bucket AND c.vec_id > a.vec_id
 )
-SELECT id_a, id_b FROM p WHERE c >= {COSINE_DEDUP_THRESHOLD}
+SELECT id_a, id_b FROM p WHERE cos >= {COSINE_DEDUP_THRESHOLD}
 """
+
+
+SQL_DEDUP_EMBEDDING_COSINE = _sql_dedup_embedding_cosine()
 
 
 def q_parse_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
