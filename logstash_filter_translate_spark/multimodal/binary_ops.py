@@ -41,6 +41,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("content_sha1", T.StringType()),
+        # sha256 as well: DuckDB's hash functions take VARCHAR only, so the
+        # oracle-checked contract query compares sha256(utf8 text) — sha1 is
+        # not available there
+        T.StructField("content_sha256", T.StringType()),
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("thumb_width", T.IntegerType()),
         T.StructField("thumb_height", T.IntegerType()),
@@ -102,6 +106,7 @@ def extract_image_features(
                     {
                         "media_id": media_id,
                         "content_sha1": d["sha1"],
+                        "content_sha256": hashlib.sha256(b).hexdigest(),
                         "n_bytes": len(b),
                         "thumb_width": max(1, int(d["width"] / scale)),
                         "thumb_height": max(1, int(d["height"] / scale)),

@@ -913,6 +913,47 @@ SELECT id_a, id_b FROM p WHERE cos >= {COSINE_DEDUP_THRESHOLD}
 SQL_DEDUP_EMBEDDING_COSINE = _sql_dedup_embedding_cosine()
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked: build a media table (binary
+    content = UTF-8 text bytes) from documents, run the real mapInPandas
+    feature extractor (decode stub → thumbnail dims → hashes), return the
+    DuckDB-computable columns. Exercises the Arrow batch path end-to-end —
+    the binary column is projected away inside the extractor."""
+    from ..multimodal.binary_ops import extract_image_features
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id", "content_sha256", "n_bytes", "thumb_width", "thumb_height"
+    )
+
+
+# mirrors decode_image_stub: w=16+(n%64), h=16+((n//64)%64), scale=max/8,
+# thumb = max(1, floor(dim/scale)) — same double arithmetic order
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         sha256(text) AS content_sha256,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+dims AS (
+  SELECT media_id, content_sha256, n,
+         16 + (n % 64) AS w,
+         16 + ((n // 64) % 64) AS h
+  FROM m
+)
+SELECT media_id, content_sha256, CAST(n AS INT) AS n_bytes,
+       CAST(greatest(1, floor(w / (greatest(w, h) / 8.0))) AS INT) AS thumb_width,
+       CAST(greatest(1, floor(h / (greatest(w, h) / 8.0))) AS INT) AS thumb_height
+FROM dims
+"""
+
+
 def q_parse_extract_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same round-trip as parse_extract but through the Arrow pandas-UDF
     extraction plane (north-star axis B) — same oracle."""
@@ -1124,6 +1165,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "similarity_ivf": q_similarity_ivf,
     "corpus_filter": q_corpus_filter,
+    "media_features": q_media_features,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1156,4 +1198,5 @@ ORACLES: Dict[str, str] = {
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "corpus_filter": SQL_CORPUS_FILTER,
+    "media_features": SQL_MEDIA_FEATURES,
 }
