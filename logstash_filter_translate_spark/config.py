@@ -71,6 +71,15 @@ class TranslateConfig:
     #: (in-place), per translate.rb:235 and translate_spec.rb:684-721.
     ecs_compatibility: bool = False
 
+    #: typing of nested/heterogeneous dictionary values (engine option, no
+    #: reference analogue — its events are schemaless). "json": carry them
+    #: as JSON strings (legacy deviation). "typed": uniform lists become a
+    #: real array column; anything else becomes a Spark VARIANT so
+    #: ``variant_get(translation, '$.e[1]')`` reads nested values with the
+    #: reference's type fidelity (translate_spec.rb:237-240). Exact mode
+    #: only; incompatible with ``fallback`` (which widens values to string).
+    nested_values: str = "json"
+
     # ----- resolved (filled by validate()) -----
     resolved_source: str = dc_field(init=False, default="")
     resolved_target: str = dc_field(init=False, default="")
@@ -129,6 +138,24 @@ class TranslateConfig:
             raise TranslateConfigError(
                 f"Unsupported yaml_load_strategy {self.yaml_load_strategy!r}"
             )
+
+        if self.nested_values not in ("json", "typed"):
+            raise TranslateConfigError(
+                f"Unsupported nested_values {self.nested_values!r}; "
+                "expected 'json' or 'typed'"
+            )
+        if self.nested_values == "typed":
+            if self.mode != "exact":
+                raise TranslateConfigError(
+                    "nested_values='typed' requires exact mode (regex/union "
+                    "values are substituted into strings)"
+                )
+            if self.fallback is not None:
+                raise TranslateConfigError(
+                    "nested_values='typed' cannot be combined with "
+                    "'fallback' (a string fallback widens the value column "
+                    "to string); use nested_values='json'"
+                )
 
         # code-point limit: positive, YAML-only (translate.rb:196-205)
         if self.yaml_dictionary_code_point_limit is not None:

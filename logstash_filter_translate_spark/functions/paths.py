@@ -1,0 +1,106 @@
+"""Logstash field-reference paths (``[a][b]``) compiled to Spark nested
+struct reads and writes.
+
+The reference's ``event.set("[a][b]", v)`` creates intermediate maps as
+needed (single_value_update.rb:41-44; array_of_maps_value_update.rb:23-25
+builds nested set paths the same way). Spark's analogue: read via chained
+``getField`` / ``getItem``; write via ``withField`` chains that create or
+replace struct levels. Only the bracket syntax triggers nesting — a bare
+name (even one containing dots) stays a flat column, matching Logstash
+where an un-bracketed name is a single top-level field.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_BRACKETED = re.compile(r"^(\[[^\[\]]+\])+$")
+
+
+def parse_path(name: str) -> List[str]:
+    """``[a][b]`` → ["a", "b"]; anything else → [name] (flat)."""
+    if _BRACKETED.match(name):
+        return re.findall(r"\[([^\[\]]+)\]", name)
+    return [name]
+
+
+def is_nested(name: str) -> bool:
+    return len(parse_path(name)) > 1
+
+
+def path_col(path: List[str]) -> Column:
+    """Read column for a parsed path; all-digit segments index into arrays
+    (0-based, like Logstash field references)."""
+    col = F.col(path[0])
+    for seg in path[1:]:
+        if seg.isdigit():
+            col = F.try_element_at(col, F.lit(int(seg) + 1))
+        else:
+            col = col.getField(seg)
+    return col
+
+
+def path_type(schema: T.StructType, path: List[str]) -> Optional[T.DataType]:
+    """The DataType at ``path``, or None when any level is absent (also
+    None when a non-struct blocks the way)."""
+    cur: T.DataType = schema
+    for seg in path:
+        if isinstance(cur, T.StructType):
+            names = {f.name: f.dataType for f in cur.fields}
+            if seg not in names:
+                return None
+            cur = names[seg]
+        elif isinstance(cur, T.ArrayType) and seg.isdigit():
+            cur = cur.elementType
+        else:
+            return None
+    return cur
+
+
+def with_path(df: DataFrame, path: List[str], value: Column) -> DataFrame:
+    """Write ``value`` at ``path``, creating struct levels that don't exist
+    and replacing non-struct values that block the way (event.set
+    semantics). Array-index segments are not writable — the reference's
+    numeric set-paths mutate Ruby arrays in place, which has no columnar
+    analogue; raise clearly instead of silently mis-writing."""
+    for seg in path[1:]:
+        if seg.isdigit():
+            raise ValueError(
+                f"cannot write through array index [{seg}] in target path "
+                f"{path}; only struct-field targets are supported"
+            )
+    top = path[0]
+    if len(path) == 1:
+        return df.withColumn(top, value)
+    top_type = path_type(df.schema, [top])
+    base = F.col(top) if isinstance(top_type, T.StructType) else None
+    return df.withColumn(
+        top, _nest(base, top_type, path[1:], value)
+    )
+
+
+def _nest(
+    col: Optional[Column],
+    ctype: Optional[T.DataType],
+    rest: List[str],
+    value: Column,
+) -> Column:
+    name = rest[0]
+    if len(rest) == 1:
+        inner = value
+    else:
+        child_col: Optional[Column] = None
+        child_type: Optional[T.DataType] = None
+        if isinstance(ctype, T.StructType) and name in ctype.fieldNames():
+            ct = ctype[name].dataType
+            if isinstance(ct, T.StructType) and col is not None:
+                child_col, child_type = col.getField(name), ct
+        inner = _nest(child_col, child_type, rest[1:], value)
+    if col is None or not isinstance(ctype, T.StructType):
+        return F.struct(inner.alias(name))
+    return col.withField(name, inner)

@@ -53,29 +53,72 @@ def ruby_to_s(value: Any) -> str:
     return str(value)
 
 
-def infer_value_type(pairs: Pairs) -> Tuple[T.DataType, Callable[[Any], Any], bool]:
+def _scalar_kind(v: Any) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    return "nested"
+
+
+_SCALAR_TYPES = {
+    "str": T.StringType(),
+    "bool": T.BooleanType(),
+    "int": T.LongType(),
+    "float": T.DoubleType(),
+}
+
+
+def _uniform_list_type(pairs: Pairs) -> Optional[T.DataType]:
+    """ArrayType(elem) when every non-None value is a list whose non-None
+    elements share one scalar kind (int+float widens to double); else None."""
+    elem_kinds = set()
+    for _, v in pairs:
+        if v is None:
+            continue
+        if not isinstance(v, (list, tuple)):
+            return None
+        for e in v:
+            if e is None:
+                continue
+            k = _scalar_kind(e)
+            if k == "nested":
+                return None
+            elem_kinds.add(k)
+    if not elem_kinds or elem_kinds == {"str"}:
+        return T.ArrayType(T.StringType())
+    if len(elem_kinds) == 1:
+        return T.ArrayType(_SCALAR_TYPES[next(iter(elem_kinds))])
+    if elem_kinds <= {"int", "float"}:
+        return T.ArrayType(T.DoubleType())
+    return None
+
+
+def infer_value_type(
+    pairs: Pairs, nested: str = "json"
+) -> Tuple[T.DataType, Callable[[Any], Any], bool]:
     """Infer a single Spark type for the dictionary's value column.
 
     Returns (spark_type, python_converter, values_are_json).
     Homogeneous scalar types map directly (CSV stays string, JSON ints stay
-    long — translate_spec.rb:359-379); heterogeneous or nested values are
-    carried as JSON strings (documented deviation: the reference's events are
-    schemaless, a Spark column has one type — SURVEY.md §1.2).
+    long — translate_spec.rb:359-379). Non-uniform or nested values:
+
+      nested="json"  → carried as JSON strings (legacy deviation);
+      nested="typed" → type-faithful: uniform lists become a real
+        ``array<elem>`` column, anything else becomes a VARIANT column
+        (Spark 4's schemaless value type — ``translation.e[1]`` style access
+        works via variant_get, matching the reference's type fidelity for
+        nested dictionary values, translate_spec.rb:237-240). The converter
+        still yields JSON text for variants; the strategies wrap it in
+        ``parse_json`` at plan time.
     """
-    kinds = set()
-    for _, v in pairs:
-        if v is None:
-            continue
-        if isinstance(v, bool):
-            kinds.add("bool")
-        elif isinstance(v, int):
-            kinds.add("int")
-        elif isinstance(v, float):
-            kinds.add("float")
-        elif isinstance(v, str):
-            kinds.add("str")
-        else:
-            kinds.add("nested")
+    kinds = {
+        _scalar_kind(v) for _, v in pairs if v is not None
+    }
     if not kinds or kinds == {"str"}:
         return T.StringType(), lambda v: v, False
     if kinds == {"bool"}:
@@ -84,6 +127,15 @@ def infer_value_type(pairs: Pairs) -> Tuple[T.DataType, Callable[[Any], Any], bo
         return T.LongType(), lambda v: v, False
     if kinds <= {"int", "float"}:
         return T.DoubleType(), lambda v: float(v) if v is not None else None, False
+    if nested == "typed":
+        arr = _uniform_list_type(pairs)
+        if arr is not None:
+            return arr, lambda v: list(v) if v is not None else None, False
+        return (
+            T.VariantType(),
+            lambda v: json.dumps(v, ensure_ascii=False) if v is not None else None,
+            False,
+        )
     return (
         T.StringType(),
         lambda v: json.dumps(v, ensure_ascii=False) if v is not None else None,
@@ -132,16 +184,24 @@ class ExactMapLiteral(LookupStrategy):
     mode = "exact"
     expression_capable = True
 
-    def __init__(self, pairs: Pairs):
-        self.value_type, conv, self.values_are_json = infer_value_type(pairs)
+    def __init__(self, pairs: Pairs, nested: str = "json"):
+        self.value_type, conv, self.values_are_json = infer_value_type(
+            pairs, nested
+        )
+        is_variant = isinstance(self.value_type, T.VariantType)
         entries: List[Column] = []
         # last occurrence wins, like Hash#[]= on duplicate keys
         dedup = {str(k): conv(v) for k, v in pairs}
         for k, v in dedup.items():
             entries.append(F.lit(k))
-            entries.append(
-                F.lit(v).cast(self.value_type) if v is not None else F.lit(None).cast(self.value_type)
-            )
+            if v is None:
+                entries.append(F.lit(None).cast(self.value_type))
+            elif is_variant:
+                # the converter yields JSON text; materialize a real
+                # VARIANT literal so nested access (variant_get) works
+                entries.append(F.parse_json(F.lit(v)))
+            else:
+                entries.append(F.lit(v).cast(self.value_type))
         self._empty = not entries
         self._map = F.create_map(*entries) if entries else None
         #: when no value is NULL, `element_at IS NOT NULL` ⇔ matched — one
@@ -180,18 +240,31 @@ class ExactBroadcastJoin(LookupStrategy):
     mode = "exact"
     expression_capable = False
 
-    def __init__(self, spark, pairs: Pairs):
-        self.value_type, conv, self.values_are_json = infer_value_type(pairs)
+    def __init__(self, spark, pairs: Pairs, nested: str = "json"):
+        self.value_type, conv, self.values_are_json = infer_value_type(
+            pairs, nested
+        )
         dedup = {str(k): conv(v) for k, v in pairs}
+        is_variant = isinstance(self.value_type, T.VariantType)
         schema = T.StructType(
             [
                 T.StructField("__lfts_k", T.StringType(), False),
-                T.StructField("__lfts_v", self.value_type, True),
+                T.StructField(
+                    "__lfts_v",
+                    T.StringType() if is_variant else self.value_type,
+                    True,
+                ),
             ]
         )
         self.dict_df = spark.createDataFrame(
             [(k, v) for k, v in dedup.items()], schema=schema
         )
+        if is_variant:
+            # ship JSON text, parse to VARIANT plan-side (VariantVal rows
+            # aren't constructible from Python)
+            self.dict_df = self.dict_df.select(
+                "__lfts_k", F.parse_json("__lfts_v").alias("__lfts_v")
+            )
 
     def join(self, df: DataFrame, key: Column, result_col: str) -> DataFrame:
         """Left-outer broadcast join; appends ``result_col`` with the uniform
@@ -547,18 +620,21 @@ def build_strategy(
     spark=None,
     exact_join_threshold: int = MAP_LITERAL_MAX_ENTRIES,
     force_join: bool = False,
+    nested: str = "json",
 ) -> LookupStrategy:
     """Pick the physical strategy for a logical mode.
 
     exact: map literal below ``exact_join_threshold`` entries, broadcast
     hash join above (or when ``force_join``). regex/union: vectorized UDFs.
+    ``nested``: value typing for nested dictionary values ("json" legacy
+    strings | "typed" array/VARIANT columns) — exact mode only.
     """
     if mode == "exact":
         if force_join or (len(pairs) > exact_join_threshold and spark is not None):
             if spark is None:
                 raise ValueError("broadcast-join strategy needs a SparkSession")
-            return ExactBroadcastJoin(spark, pairs)
-        return ExactMapLiteral(pairs)
+            return ExactBroadcastJoin(spark, pairs, nested=nested)
+        return ExactMapLiteral(pairs, nested=nested)
     if mode == "regex":
         return RegexFirstMatch(pairs)
     if mode == "union":

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import TranslateConfig
+from ..functions.paths import parse_path, path_col, path_type, with_path
 from ..functions.templates import compile_sprintf
 from ..sources.dictionary import DictionaryFile
 from .lookup import (
@@ -95,13 +96,20 @@ class Translate:
 
     def _build_strategy(self) -> LookupStrategy:
         pairs = self._pairs()
+        nested = self.config.nested_values
         if self._physical == "expr" and self.config.mode == "exact":
-            return build_strategy("exact", pairs, exact_join_threshold=len(pairs) + 1)
+            return build_strategy(
+                "exact",
+                pairs,
+                exact_join_threshold=len(pairs) + 1,
+                nested=nested,
+            )
         return build_strategy(
             self.config.mode,
             pairs,
             spark=self.spark,
             force_join=self._physical == "join" and self.config.mode == "exact",
+            nested=nested,
         )
 
     def refresh(self, force: bool = False) -> bool:
@@ -155,6 +163,28 @@ class Translate:
         return base.localCheckpoint(eager=False), _ID
 
     # -- helpers -------------------------------------------------------------
+    @property
+    def _target_path(self):
+        """Parsed target: ``[a][b]`` → nested struct write (event.set builds
+        nested paths — single_value_update.rb:41-44); bare names stay flat."""
+        return parse_path(self.config.resolved_target)
+
+    def _target_type(self, df: DataFrame):
+        return path_type(df.schema, self._target_path)
+
+    def _target_read(self, df: DataFrame) -> Optional[Column]:
+        """Existing-target read column, or None when the path is absent."""
+        if self._target_type(df) is None:
+            return None
+        return path_col(self._target_path)
+
+    def _write_target(self, df: DataFrame, value: Column) -> DataFrame:
+        return with_path(df, self._target_path, value)
+
+    def _source_col_and_type(self, df: DataFrame):
+        spath = parse_path(self.config.resolved_source)
+        return path_col(spath), path_type(df.schema, spath)
+
     def _coerce_single_key(self, df: DataFrame) -> Column:
         """String-coerce the probe value: arrays use their first element
         (single_value_update.rb:5-13). ``try_element_at`` (NOT element_at)
@@ -162,10 +192,8 @@ class Translate:
         on an empty array; the reference coerces ``[].first.to_s`` (and a
         nil first element) to "" and proceeds — a NULL array stays NULL
         (missing field → no lookup)."""
-        src = self.config.resolved_source
-        dtype = dict(df.dtypes).get(src)
-        col = F.col(src)
-        if dtype is not None and dtype.startswith("array"):
+        col, dtype = self._source_col_and_type(df)
+        if isinstance(dtype, T.ArrayType):
             return F.when(
                 col.isNotNull(),
                 F.coalesce(
@@ -178,9 +206,10 @@ class Translate:
         """O7 override gate: target exists (non-NULL) and override disabled →
         skip (single_value_update.rb:27-31). In-place forces override."""
         cfg = self.config
-        if cfg.resolved_override or cfg.resolved_target not in df.columns:
+        existing = self._target_read(df)
+        if cfg.resolved_override or existing is None:
             return F.lit(False)
-        return F.col(cfg.resolved_target).isNotNull()
+        return existing.isNotNull()
 
     def _fallback_expr(self, df: DataFrame) -> Optional[Column]:
         if self.config.fallback is None:
@@ -237,9 +266,10 @@ class Translate:
             res = F.col(_RES)
 
         out_type = self._out_type()
+        existing_read = self._target_read(df)
         existing = (
-            F.col(cfg.resolved_target).cast(out_type)
-            if cfg.resolved_target in df.columns and cfg.resolved_target != _RES
+            existing_read.cast(out_type)
+            if existing_read is not None
             else F.lit(None).cast(out_type)
         )
         fb = self._fallback_expr(df)
@@ -263,9 +293,7 @@ class Translate:
         else:
             route = route.otherwise(F.lit(ROUTE_UNMATCHED))
 
-        out = df.withColumn(cfg.resolved_target, translated).withColumn(
-            route_col, route
-        )
+        out = self._write_target(df, translated).withColumn(route_col, route)
         if matched_key_col is not None:
             out = out.withColumn(
                 matched_key_col, F.when(res["matched"], res["key"])
@@ -302,9 +330,10 @@ class Translate:
             else:
                 matched = key.isNotNull() & value.isNotNull()
 
+        existing_read = self._target_read(df)
         existing = (
-            F.col(cfg.resolved_target).cast(out_type)
-            if cfg.resolved_target in df.columns
+            existing_read.cast(out_type)
+            if existing_read is not None
             else F.lit(None).cast(out_type)
         )
         translated = F.when(skip, existing).when(matched, value.cast(out_type))
@@ -317,9 +346,7 @@ class Translate:
             .when(matched, F.lit(ROUTE_MATCHED))
             .otherwise(F.lit(ROUTE_FALLBACK if fb is not None else ROUTE_UNMATCHED))
         )
-        out = df.withColumn(cfg.resolved_target, translated).withColumn(
-            route_col, route
-        )
+        out = self._write_target(df, translated).withColumn(route_col, route)
         if matched_key_col is not None:
             out = out.withColumn(matched_key_col, F.when(matched, key))
         return out.drop(_SKIP, "__lfts_key", "__lfts_val")
@@ -335,10 +362,9 @@ class Translate:
         fallback prefilled at every miss position, target always written
         (array_of_values_update.rb:29-45)."""
         cfg = self.config
-        src = F.col(cfg.resolved_source)
-        dtype = dict(df.dtypes).get(cfg.resolved_source, "string")
-        if dtype.startswith("array"):
-            arr = F.coalesce(src, F.array().cast(dtype))
+        src, stype = self._source_col_and_type(df)
+        if isinstance(stype, T.ArrayType):
+            arr = F.coalesce(src, F.array().cast(stype.simpleString()))
         else:
             # CoerceOther: Array(x); Array(nil) == []
             arr = F.when(src.isNull(), F.array().cast("array<string>")).otherwise(
@@ -403,9 +429,10 @@ class Translate:
             matched_any = F.exists(res_arr, lambda s: s["matched"])
             any_error = F.exists(res_arr, lambda s: s["error"].isNotNull())
 
+        existing_read = self._target_read(df)
         existing_t = (
-            F.col(cfg.resolved_target)
-            if cfg.resolved_target in df.columns and cfg.resolved_target != _RES
+            existing_read
+            if existing_read is not None
             else F.lit(None).cast(T.ArrayType(out_type))
         )
         # target always written unless the O7 gate skipped the row
@@ -423,7 +450,7 @@ class Translate:
             .otherwise(F.lit(ROUTE_UNMATCHED))
         )
         return (
-            df.withColumn(cfg.resolved_target, translated)
+            self._write_target(df, translated)
             .withColumn(route_col, route)
             .drop(_RES, _SKIP, "__lfts_arr")
         )
@@ -498,9 +525,10 @@ class Translate:
             ),
         )
         matched_any = F.exists(res_arr, lambda s: s["matched"])
+        existing_read = self._target_read(df)
         existing_t = (
-            F.col(cfg.resolved_target)
-            if cfg.resolved_target in df.columns
+            existing_read
+            if existing_read is not None
             else F.lit(None).cast(T.ArrayType(out_type))
         )
         translated = F.when(skip, existing_t.cast(T.ArrayType(out_type))).otherwise(
@@ -516,7 +544,7 @@ class Translate:
             .otherwise(F.lit(ROUTE_UNMATCHED))
         )
         return (
-            joined.withColumn(cfg.resolved_target, translated)
+            self._write_target(joined, translated)
             .withColumn(route_col, route)
             .drop(_ID, _SKIP, "__lfts_arr", "__lfts_sorted")
         )
