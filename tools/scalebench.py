@@ -47,8 +47,12 @@ def single_run(cpus: int, rows: int, mode: str, path: str | None) -> dict:
         shuffle_partitions=max(cpus, 8),
         extra_conf={
             "spark.driver.extraJavaOptions": gc_opts(cpus),
-            # ~4 waves at 32 cores for straggler-tolerant balance
-            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
+            # fine scan splits: the 12M-row corpus is ~470MB — 32MB splits
+            # gave only ~16 read partitions = ONE wave at 16 threads (no
+            # straggler balancing, the slowest task gates the stage); 8MB
+            # → ~60 splits ≈ 4 waves. At real scale the corpus provides
+            # thousands of splits and this ceases to matter.
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
         },
     )
     if mode == "file":
