@@ -1047,6 +1047,35 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_EXACT = SQL_ROUTE_HISTOGRAM
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: state-store-backed groupBy(fingerprint)
+    over a micro-batched documents stream; the final state must equal the
+    batch exact_dedup exactly (same oracle — streaming and batch planes
+    are the same logical aggregation)."""
+    import os
+    import tempfile
+
+    from ..streaming.refresh import run_streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="lfts_stream_dedup_")
+    src_dir = os.path.join(tmp, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    os.symlink(
+        f"{sf_dir}/documents.parquet",
+        os.path.join(src_dir, "documents.parquet"),
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = run_streaming_dedup(
+        spark, stream, "text", "doc_id", tmp, f"{tmp}/ckpt"
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/deduped")
+
+
+SQL_STREAMING_DEDUP = SQL_DEDUP_EXACT
+
+
 # ---------------------------------------------------------------------------
 # parse stage (axis B): html render → extract round-trip, byte-identical
 # ---------------------------------------------------------------------------
@@ -1166,6 +1195,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf": q_similarity_ivf,
     "corpus_filter": q_corpus_filter,
     "media_features": q_media_features,
+    "streaming_dedup": q_streaming_dedup,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1199,4 +1229,5 @@ ORACLES: Dict[str, str] = {
     "similarity_ivf": SQL_SIMILARITY_IVF,
     "corpus_filter": SQL_CORPUS_FILTER,
     "media_features": SQL_MEDIA_FEATURES,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
 }

@@ -102,6 +102,58 @@ def run_streaming_pipeline(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    stream: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Cross-micro-batch exact dedup as a STATEFUL streaming aggregation:
+    groupBy(text fingerprint) with min(id)/count — the state store carries
+    the per-fingerprint canonical id and duplicate count across batches,
+    so a duplicate arriving three batches later still collapses onto the
+    first batch's canonical row. The streaming analogue of
+    operators.dedup.exact_dedup (same keys, same aggregates → the batch
+    DuckDB oracle verifies the final state exactly).
+
+    At 100 TB-stream scale the state is one narrow row per distinct
+    fingerprint (32-char digest + two longs), hash-partitioned by the
+    state store — never the documents themselves."""
+    from ..functions.text import fingerprint
+
+    return (
+        stream.groupBy(fingerprint(F.col(text_col)).alias("__fp"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_cnt"))
+        .drop("__fp")
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession,
+    stream: DataFrame,
+    text_col: str,
+    id_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the stateful dedup over a stream; each micro-batch overwrites
+    the sink with the full updated state (complete mode through
+    foreachBatch), so the sink always holds the current canonical set.
+    Returns the StreamingQuery."""
+
+    deduped = streaming_exact_dedup(stream, text_col, id_col)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "deduped")
+        )
+
+    return (
+        deduped.writeStream.foreachBatch(handle_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_route_counts(
     events: DataFrame,
     ts_col: str = "warc_ts",

@@ -33,6 +33,35 @@ def test_exact_map_literal_equals_broadcast_join(spark, d, probes):
     )
 
 
+# tight alphabet → overlaps/boundary collisions are LIKELY, which is what
+# the native-safety proof must survive; pure Python so thousands of
+# examples are cheap (the Spark round-trip test below keeps 12)
+TIGHT_KEYS = st.text("abc", min_size=1, max_size=3)
+TIGHT_VALS = st.text("abc", min_size=0, max_size=3)
+
+
+@given(pairs=st.lists(st.tuples(TIGHT_KEYS, TIGHT_VALS), min_size=1,
+                      max_size=5, unique_by=lambda kv: kv[0]),
+       probe=st.text("abc", min_size=0, max_size=10))
+@settings(max_examples=2000, deadline=None)
+def test_native_safety_proof_is_sound_pure_python(pairs, probe):
+    """If _native_safe accepts a dictionary, the sequential str.replace
+    chain (what the JVM plane computes) MUST equal the single-pass gsub
+    reference for EVERY input — the proof's soundness, checked without
+    Spark at high volume (the round-1 advisor found a counterexample the
+    old proof missed: dict [("ab","c"),("cd","z")] on "abd")."""
+    strat = UnionSubstitution(pairs)
+    if not strat.native:
+        return
+    mapping = dict((str(k), str(v)) for k, v in pairs)
+    pat = re.compile("|".join(re.escape(k) for k, _ in pairs))
+    single_pass = pat.sub(lambda m: mapping[m.group(0)], probe)
+    chained = probe
+    for k, v in pairs:
+        chained = chained.replace(str(k), str(v))
+    assert chained == single_pass, (pairs, probe)
+
+
 @given(pairs=st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8,
                       unique_by=lambda kv: kv[0]),
        probes=st.lists(st.text(string.ascii_lowercase + string.digits + " &",

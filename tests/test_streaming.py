@@ -84,3 +84,62 @@ def test_windowed_route_counts_batch_semantics(spark):
         ("2026-01-01 00:00:00", "matched"): 2,
         ("2026-01-01 00:01:00", "fallback"): 1,
     }
+
+
+def test_streaming_dedup_state_spans_micro_batches(spark, tmp_path):
+    """The stateful dedup must collapse duplicates ACROSS micro-batches:
+    batch 2 re-sends batch 1's texts plus new ones; the final state keeps
+    the batch-1 canonical ids and counts every occurrence."""
+    from logstash_filter_translate_spark.streaming.refresh import (
+        run_streaming_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # two files → two micro-batches via maxFilesPerTrigger=1
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f1")
+    spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon zeta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(src + "/f2")
+
+    schema = "doc_id long, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = run_streaming_dedup(
+        spark, stream, "text", "doc_id",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(300)
+    got = {
+        r["doc_id"]: r["dup_cnt"]
+        for r in spark.read.parquet(str(tmp_path / "out/deduped")).collect()
+    }
+    # "alpha beta" seen in both batches: canonical id 1, three occurrences
+    assert got == {1: 3, 2: 1, 11: 1}
+
+    # resumability: a restarted query over the same checkpoint re-emits the
+    # same final state without reprocessing (no new files → no new batch)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q2 = run_streaming_dedup(
+        spark, stream2, "text", "doc_id",
+        str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(300)
+    got2 = {
+        r["doc_id"]: r["dup_cnt"]
+        for r in spark.read.parquet(str(tmp_path / "out/deduped")).collect()
+    }
+    assert got2 == got
