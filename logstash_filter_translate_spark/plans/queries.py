@@ -1047,6 +1047,41 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_EXACT = SQL_ROUTE_HISTOGRAM
 
 
+SESSION_GAP_MINUTES = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session numbering over events (30-min gap) — batch plane;
+    the applyInPandasWithState streaming plane is asserted equal in
+    tests/test_streaming.py."""
+    from ..operators.sessionize import sessionize
+
+    return sessionize(
+        _load(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MINUTES
+    )
+
+
+# CAST AS BIGINT: DuckDB window SUM of integers yields HUGEINT (the
+# rolling_fingerprint lesson); Spark's is int64
+SQL_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts)
+                   > {SESSION_GAP_MINUTES * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS session_seq
+FROM flagged
+"""
+
+
 def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup: state-store-backed groupBy(fingerprint)
     over a micro-batched documents stream; the final state must equal the
@@ -1196,6 +1231,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_filter": q_corpus_filter,
     "media_features": q_media_features,
     "streaming_dedup": q_streaming_dedup,
+    "sessionize": q_sessionize,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1230,4 +1266,5 @@ ORACLES: Dict[str, str] = {
     "corpus_filter": SQL_CORPUS_FILTER,
     "media_features": SQL_MEDIA_FEATURES,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "sessionize": SQL_SESSIONIZE,
 }
