@@ -1,0 +1,93 @@
+"""Physical-plan regression guards: the properties that make the engine
+scale-safe, asserted on the executed plans so a future edit can't silently
+reintroduce a round-1 scale-killer (docs/PLANS.md is the narrative
+companion).
+"""
+
+from pyspark.sql import functions as F
+
+from logstash_filter_translate_spark.config import TranslateConfig
+from logstash_filter_translate_spark.operators.translate import Translate
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_embedding_cosine_has_no_cartesian(spark, testdata_dir):
+    from logstash_filter_translate_spark.plans.queries import (
+        q_dedup_embedding_cosine,
+    )
+
+    p = plan_of(q_dedup_embedding_cosine(spark, testdata_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_similarity_ivf_argmax_is_partial_aggregate(spark, testdata_dir):
+    from logstash_filter_translate_spark.plans.queries import q_similarity_ivf
+
+    p = plan_of(q_similarity_ivf(spark, testdata_dir))
+    # the cell argmax must be a max_by partial agg, not a Window over the
+    # n×|centroids| scored expansion (round-1 finding #3); the only
+    # row_number Window allowed is the final per-query top-k (which also
+    # shows up as partial/final WindowGroupLimit pushdowns — those are good)
+    assert "partial_max_by" in p
+    row_number_windows = [
+        line for line in p.splitlines()
+        if line.strip().startswith(("Window ", "+- Window "))
+        or "- Window [" in line
+    ]
+    assert len(row_number_windows) == 1, row_number_windows
+    assert "query_id" in row_number_windows[0]  # top-k, not cell argmax
+
+
+def test_explode_plane_with_natural_key_has_no_synthetic_id(spark):
+    df = spark.createDataFrame([(1, ["w1"])], "id int, words array<string>")
+    op = Translate(
+        TranslateConfig(
+            source="words", iterate_on="words", target="t",
+            dictionary=[(f"w{i}", f"W{i}") for i in range(600)],
+        ),
+        spark=spark,
+    )
+    p = plan_of(op.apply(df, iterate_key="id"))
+    assert "monotonically_increasing_id" not in p
+    assert "BroadcastHashJoin" in p  # the dictionary side stays broadcast
+
+
+def test_exact_map_literal_plane_has_no_join(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    op = Translate(
+        TranslateConfig(source="k", dictionary={"a": "A"}), spark=spark
+    )
+    p = plan_of(op.apply(df))
+    assert "Join" not in p  # plan-literal map probe: pure projection
+
+
+def test_exact_broadcast_plane_probe_side_not_shuffled(spark, testdata_dir):
+    df = spark.read.parquet(f"{testdata_dir}/events.parquet")
+    op = Translate(
+        TranslateConfig(
+            source="event_type", target="t",
+            dictionary=[(str(i), str(i)) for i in range(600)],
+        ),
+        spark=spark,
+    )
+    p = plan_of(op.apply(df))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the only Exchange is the dictionary broadcast — the probe (100 TB)
+    # side must not hash-shuffle
+    assert "Exchange hashpartitioning" not in p
+
+
+def test_pipeline_parse_enrich_is_single_stage_no_python(spark):
+    from logstash_filter_translate_spark.plans import pipeline as P
+    from logstash_filter_translate_spark.plans.pages import generate_pages
+
+    pages = generate_pages(spark, 10, 1)
+    enriched = P.enrich_stage(P.parse_stage(pages), spark)
+    p = plan_of(enriched)
+    assert "Exchange" not in p  # zero shuffles until the aggregates
+    assert "Python" not in p  # no row-at-a-time or Arrow UDF in the default path
