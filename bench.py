@@ -61,6 +61,8 @@ HEADLINE = [
     "rolling_fingerprint",
     "corpus_filter",
     "media_features",
+    "sessionize",
+    "props_enrich",
 ]
 
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
@@ -83,10 +85,24 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         app_name="lfts-bench", master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
     )
+    # steady-state protocol: pay one-time process costs (JVM heap growth,
+    # codegen compiler, Python/Arrow worker pool spin-up) BEFORE the first
+    # timed query — they are per-process, not per-query, and a real
+    # long-running cluster amortizes them to zero. Each query is still
+    # measured cold-plan (no result caching).
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    spark.range(2_000_000).selectExpr("sum(id)").collect()
+    # (no type hints: `from __future__ import annotations` stringifies
+    # them and breaks pandas_udf's signature inference)
+    _warm = pandas_udf(lambda s: s, "long", PandasUDFType.SCALAR)
+    spark.range(1000).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     timings = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        # warm the plan (dict broadcast, UDF pickling) once, then measure
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)

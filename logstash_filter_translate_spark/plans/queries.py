@@ -1047,6 +1047,57 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAMING_EXACT = SQL_ROUTE_HISTOGRAM
 
 
+DIGIT_DICT = [
+    ("0", "zero"), ("1", "one"), ("2", "two"), ("3", "three"), ("4", "four"),
+    # 5-9 intentionally missing → fallback route
+]
+DIGIT_FALLBACK = "high"
+
+
+def q_props_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured enrich: the events.props JSON column is ingested as
+    a Spark VARIANT (parse_json → variant_get — schemaless, no fixed
+    from_json schema needed), a derived key is bucketed and translated.
+    The grok-parse → lookup-enrich pattern over semi-structured payloads —
+    map-side only, no shuffle."""
+    df = _load(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    df = df.withColumn("k_val", k).withColumn(
+        "k_bucket", F.pmod(F.col("k_val"), F.lit(10)).cast("string")
+    )
+    op = Translate(
+        TranslateConfig(
+            source="k_bucket",
+            target="bucket_name",
+            dictionary=DIGIT_DICT,
+            fallback=DIGIT_FALLBACK,
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select(
+        "event_id", "k_val", "k_bucket", "bucket_name", "route"
+    )
+
+
+SQL_PROPS_ENRICH = f"""
+WITH {_values_cte('dict', DIGIT_DICT)},
+parsed AS (
+  SELECT event_id,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+  FROM events
+),
+b AS (
+  SELECT event_id, k_val,
+         CAST(k_val % 10 AS VARCHAR) AS k_bucket
+  FROM parsed
+)
+SELECT b.event_id, b.k_val, b.k_bucket,
+       COALESCE(d.v, '{DIGIT_FALLBACK}') AS bucket_name,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM b LEFT JOIN dict d ON b.k_bucket = d.k
+"""
+
+
 SESSION_GAP_MINUTES = 30
 
 
@@ -1232,6 +1283,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_features": q_media_features,
     "streaming_dedup": q_streaming_dedup,
     "sessionize": q_sessionize,
+    "props_enrich": q_props_enrich,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1267,4 +1319,5 @@ ORACLES: Dict[str, str] = {
     "media_features": SQL_MEDIA_FEATURES,
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "sessionize": SQL_SESSIONIZE,
+    "props_enrich": SQL_PROPS_ENRICH,
 }
