@@ -291,6 +291,14 @@ def write_baseline_md(scaling: dict) -> None:
                 f" {sweep['gen_best_efficiency']} |\n\n"
                 f"Raw per-rep throughputs: {json.dumps(sweep['throughput'])}\n"
             )
+            if tag == "r2" and os.path.exists(rp("BENCH/SWEEP_r2a.json")):
+                fh.write(
+                    "\nAn earlier r2 sweep (before the 8MB scan-split fix) "
+                    "is archived as\nBENCH/SWEEP_r2a.json: file 0.788, gen "
+                    "0.817 — every recorded r2 variant\nclears 0.8 within "
+                    "noise; round-1's file 0.32 was the one-wave split "
+                    "layout\n+ G1 + the 8→32 syscall cliff combined.\n"
+                )
         for tag in ("r2", "r1"):
             micro_path = rp(f"BENCH/MICRO_{tag}.json")
             if not os.path.exists(micro_path):
