@@ -63,6 +63,7 @@ HEADLINE = [
     "media_features",
     "sessionize",
     "props_enrich",
+    "near_dup_keep",
 ]
 
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))

@@ -468,6 +468,78 @@ FROM banded l JOIN banded r
 """
 
 
+JACCARD_KEEP_NUM = 4  # keep-threshold 4/5 = 0.8 as integer math
+JACCARD_KEEP_DEN = 5
+
+
+def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END near-dup dedup pipeline as one query: MinHash
+    signatures → banded-LSH candidate pairs → exact n-gram-Jaccard verify
+    (integer arithmetic, threshold 0.8) → drop the higher id of each
+    verified pair → the kept (canonical) document set. Every stage is the
+    scale-safe plane (no all-pairs anywhere); the verify touches LSH
+    candidates only."""
+    docs = _load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
+    # jaccard >= 4/5 in exact integer math (float-free across engines)
+    dup = jac.filter(
+        (F.col("n_union") > 0)
+        & (
+            F.col("n_intersect") * JACCARD_KEEP_DEN
+            >= F.col("n_union") * JACCARD_KEEP_NUM
+        )
+    ).select(F.col("id_b").alias("doc_id"))
+    return docs.select("doc_id").join(dup, "doc_id", "left_anti")
+
+
+SQL_NEAR_DUP_KEEP = f"""
+WITH {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_intersect
+  FROM cand c
+  JOIN dsh sa ON sa.doc_id = c.id_a
+  JOIN dsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+),
+dup AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) > 0
+    AND COALESCE(i.n_intersect, 0) * {JACCARD_KEEP_DEN}
+        >= (za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0)) * {JACCARD_KEEP_NUM}
+)
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(
         _load(spark, sf_dir, "documents"), "text", "doc_id", SIMHASH_BITS
@@ -1284,6 +1356,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup": q_streaming_dedup,
     "sessionize": q_sessionize,
     "props_enrich": q_props_enrich,
+    "near_dup_keep": q_near_dup_keep,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1320,4 +1393,5 @@ ORACLES: Dict[str, str] = {
     "streaming_dedup": SQL_STREAMING_DEDUP,
     "sessionize": SQL_SESSIONIZE,
     "props_enrich": SQL_PROPS_ENRICH,
+    "near_dup_keep": SQL_NEAR_DUP_KEEP,
 }
