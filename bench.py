@@ -64,6 +64,7 @@ HEADLINE = [
     "sessionize",
     "props_enrich",
     "near_dup_keep",
+    "similarity_lsh_multiband",
 ]
 
 PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))

@@ -150,6 +150,59 @@ def ivf_topk(
     )
 
 
+def lsh_topk_multiband(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bands: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """Multi-band hyperplane LSH: a candidate qualifies if it shares a
+    bucket with the query in ANY band (standard OR-of-bands recall lever —
+    B independent plane-sets raise recall from p to 1-(1-p)^B while each
+    band's bucket join stays narrow). Candidates are unioned and deduped
+    BEFORE scoring, so each (query, candidate) cosine is computed once.
+
+    At corpus scale each band is one bucket-equi-join against a corpus
+    written partitioned by (band, bucket); the union is a cheap narrow
+    concat of candidate id pairs."""
+    cand = None
+    for planes in bands:
+        cb = corpus.select(
+            F.col(id_col),
+            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        )
+        qb = queries.select(
+            F.col(query_id_col),
+            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        )
+        pairs = cb.join(qb, "__bucket").select(query_id_col, id_col)
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct().filter(F.col(id_col) != F.col(query_id_col))
+    scored = (
+        cand.join(corpus.select(id_col, vec_col), id_col)
+        .join(
+            F.broadcast(
+                queries.select(query_id_col, F.col(vec_col).alias("__qvec"))
+            ),
+            query_id_col,
+        )
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col(vec_col), F.col("__qvec")).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col)
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -827,6 +827,77 @@ SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
 
 SQL_SIMILARITY_LSH = _sql_similarity_lsh()
 
+# 3 bands × 3 planes, deterministic (same formula family as LSH_PLANES
+# with a per-band offset)
+LSH_BANDS = [
+    [
+        [(((i * 37 + p * 17 + 53 * b) % 13) - 6) / 6.0 for i in range(64)]
+        for p in range(3)
+    ]
+    for b in range(3)
+]
+
+
+def q_similarity_lsh_multiband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-band hyperplane LSH top-k (OR of 3 bands — the recall lever;
+    measured ≥0.5 vs single-band ~0.27 on the near-random testdata in
+    tests/test_bucketed_similarity.py)."""
+    from ..operators.similarity import lsh_topk_multiband
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk_multiband(emb, queries, LSH_BANDS, k=5)
+
+
+def _sql_similarity_lsh_multiband() -> str:
+    def plane_lit(p):
+        return "[" + ", ".join(f"{x}" for x in p) + "]"
+
+    def bucket_expr(planes):
+        return " + ".join(
+            f"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), {plane_lit(p)}) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+
+    band_ctes = ",\n".join(
+        f"b{b} AS (SELECT vec_id, {bucket_expr(planes)} AS bucket FROM embeddings)"
+        for b, planes in enumerate(LSH_BANDS)
+    )
+    cand_union = "\n  UNION\n".join(
+        f"  SELECT q.vec_id AS query_id, c.vec_id\n"
+        f"  FROM b{b} c JOIN b{b} q ON c.bucket = q.bucket\n"
+        f"  WHERE q.vec_id < 3"
+        for b in range(len(LSH_BANDS))
+    )
+    return f"""
+WITH {band_ctes},
+cand AS (
+{cand_union}
+),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         list_dot_product(c.embedding, q.embedding)
+         / (sqrt(list_dot_product(c.embedding, c.embedding))
+            * sqrt(list_dot_product(q.embedding, q.embedding))) AS score
+  FROM cand cd
+  JOIN embeddings c ON c.vec_id = cd.vec_id
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  WHERE cd.vec_id <> cd.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_SIMILARITY_LSH_MULTIBAND = _sql_similarity_lsh_multiband()
+
 
 def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: keep documents that pass the
@@ -1357,6 +1428,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "props_enrich": q_props_enrich,
     "near_dup_keep": q_near_dup_keep,
+    "similarity_lsh_multiband": q_similarity_lsh_multiband,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1394,4 +1466,5 @@ ORACLES: Dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "props_enrich": SQL_PROPS_ENRICH,
     "near_dup_keep": SQL_NEAR_DUP_KEEP,
+    "similarity_lsh_multiband": SQL_SIMILARITY_LSH_MULTIBAND,
 }

@@ -60,3 +60,62 @@ def test_bucket_partitioned_corpus_serves_lsh_queries(spark, tmp_path):
     assert sorted(map(tuple, from_index.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_ann_recall_vs_brute_force(spark, testdata_dir):
+    """The approximate indexes must be MEASURED, not just plumbed: top-5
+    recall of hyperplane-LSH and IVF(nprobe=1) against the exact
+    brute-force answer over the same queries. Deterministic (fixed planes,
+    deterministic centroids) so the bound is a regression test, not a
+    flake."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_translate_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from logstash_filter_translate_spark.plans.queries import (
+        IVF_CENTROID_STEP,
+        LSH_PLANES,
+    )
+
+    emb = spark.read.parquet(f"{testdata_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, k=5))
+    lsh = topk_sets(lsh_topk(emb, queries, LSH_PLANES, k=5))
+    cents = emb.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0)
+    ivf = topk_sets(ivf_topk(emb, queries, cents, k=5))
+
+    def recall(approx):
+        hits = sum(len(approx.get(q, set()) & s) for q, s in exact.items())
+        return hits / sum(len(s) for s in exact.values())
+
+    # multi-band: OR of B independent plane-sets (the standard recall
+    # lever: p -> 1-(1-p)^B)
+    from logstash_filter_translate_spark.operators.similarity import (
+        lsh_topk_multiband,
+    )
+
+    from logstash_filter_translate_spark.plans.queries import LSH_BANDS
+
+    multi = topk_sets(lsh_topk_multiband(emb, queries, LSH_BANDS, k=5))
+
+    r_lsh, r_ivf, r_multi = recall(lsh), recall(ivf), recall(multi)
+    # the testdata embeddings are near-random (no planted clusters) — the
+    # WORST case for LSH: single-band/nprobe=1 recall sits near 0.25-0.30
+    # (chance for 8 buckets is ~0.125). Floors guard against a broken
+    # bucketer; the multiband assertion guards the recall LEVER itself.
+    assert r_lsh >= 0.15, r_lsh
+    assert r_ivf >= 0.15, r_ivf
+    assert r_multi > r_lsh, (r_multi, r_lsh)
+    assert r_multi >= 0.5, r_multi
