@@ -130,6 +130,19 @@ def infer_value_type(
     if nested == "typed":
         arr = _uniform_list_type(pairs)
         if arr is not None:
+            if isinstance(arr.elementType, T.DoubleType):
+                # mixed int/float lists widen to array<double>; Python ints
+                # must be coerced or createDataFrame's schema verification
+                # rejects them at plan time (round-2 advice)
+                return (
+                    arr,
+                    lambda v: (
+                        [None if e is None else float(e) for e in v]
+                        if v is not None
+                        else None
+                    ),
+                    False,
+                )
             return arr, lambda v: list(v) if v is not None else None, False
         return (
             T.VariantType(),
@@ -300,7 +313,22 @@ class RegexFirstMatch(LookupStrategy):
 
     mode = "regex"
 
-    def __init__(self, pairs: Pairs, dialect: str = "python"):
+    def __init__(
+        self,
+        pairs: Pairs,
+        dialect: str = "python",
+        fault_pattern: Optional[str] = None,
+    ):
+        #: ``fault_pattern``: deterministic fault injector for O10
+        #: containment parity — rows whose key matches raise INSIDE the
+        #: guarded per-row path, exactly how the reference's own spec
+        #: exercises containment (translate_spec.rb:738-742 mocks the
+        #: updater to raise; translate.rb:266-270 rescues and tags). The
+        #: raise happens before any lookup so the row comes out
+        #: unmatched + error → route='failed', pass-through unenriched.
+        self._fault_pattern = fault_pattern
+        if fault_pattern is not None:
+            re.compile(fault_pattern)  # fail fast at plan time
         self.value_type, conv, self.values_are_json = infer_value_type(pairs)
         self._table: List[Tuple[str, Any]] = [(str(k), conv(v)) for k, v in pairs]
         # fail fast at plan time on invalid patterns (reference raises at
@@ -321,13 +349,19 @@ class RegexFirstMatch(LookupStrategy):
     def _build_udf(self, array: bool):
         table = self._table
         union_ok = self._union_ok
+        fault_pattern = self._fault_pattern
         result_type = self._result_type
         ret = T.ArrayType(result_type) if array else result_type
 
-        def lookup_one(s, compiled, union_pat):
+        def lookup_one(s, compiled, union_pat, fault=None):
             if s is None:
                 return {"matched": False, "value": None, "key": None, "error": None}
             try:
+                if fault is not None and fault.search(s):
+                    raise RuntimeError(
+                        f"injected lookup fault for {s!r} "
+                        "(translate_spec.rb:738-742 containment parity)"
+                    )
                 # miss prefilter: one union-regex probe short-circuits the
                 # O(keys) ordered scan for non-matching rows (the "could be
                 # expensive" caveat at translate.rb:143-144)
@@ -363,13 +397,14 @@ class RegexFirstMatch(LookupStrategy):
                 )
             except re.error:
                 union = None  # e.g. mixed flags; fall back to the plain scan
-            return compiled, union
+            fault = re.compile(fault_pattern) if fault_pattern else None
+            return compiled, union, fault
 
         if array:
 
             @pandas_udf(ret)
             def udf(col: pd.Series) -> pd.Series:
-                compiled, union = build()
+                compiled, union, fault = build()
                 out = []
                 for arr in col:
                     if arr is None:
@@ -379,7 +414,7 @@ class RegexFirstMatch(LookupStrategy):
                             [
                                 lookup_one(
                                     None if x is None else str(x), compiled,
-                                    union,
+                                    union, fault,
                                 )
                                 for x in arr
                             ]
@@ -390,8 +425,8 @@ class RegexFirstMatch(LookupStrategy):
 
             @pandas_udf(ret)
             def udf(col: pd.Series) -> pd.DataFrame:
-                compiled, union = build()
-                rows = [lookup_one(s, compiled, union) for s in col]
+                compiled, union, fault = build()
+                rows = [lookup_one(s, compiled, union, fault) for s in col]
                 return pd.DataFrame(rows)
 
         return udf

@@ -96,9 +96,16 @@ def sessionize_streaming(
             last_ts, seq = state.get
         else:
             last_ts, seq = None, 0
+        # materialize the WHOLE group before sorting: a group larger than
+        # one Arrow batch arrives as multiple chunks with no global order —
+        # sorting chunks independently would let last_ts regress and
+        # silently diverge from the batch plane (round-2 advice)
+        chunks = [c for c in pdfs if len(c)]
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, id_col])
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                [ts_col, id_col]
+            )
             for eid, ts in zip(pdf[id_col], pdf[ts_col]):
                 epoch = int(ts.timestamp())
                 if last_ts is None or epoch - last_ts > gap_s:

@@ -10,6 +10,8 @@ must agree exactly.
 
 from __future__ import annotations
 
+import os
+
 from typing import Callable, Dict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +102,22 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     this becomes a no-op choice."""
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, input) scratch dir for the streaming
+    queries, wiped fresh on each invocation — mkdtemp accumulated a new
+    directory per bench/selfcheck run (round-2 advice); a stable path
+    reused-and-reset leaks nothing."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"lfts_{tag}_{suffix}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 # ---------------------------------------------------------------------------
@@ -237,6 +255,61 @@ SELECT event_id, event_type,
        {_sql_regex_case('event_type')} AS translation,
        CASE WHEN {_sql_regex_case('event_type')} <> '{REGEX_FALLBACK}'
             THEN 'matched' ELSE 'fallback' END AS route
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# O10: error containment (translate.rb:266-270, translate_spec.rb:724-749)
+# ---------------------------------------------------------------------------
+
+# dictionary chosen so every route is nonzero over the events table:
+# click/error → matched, view/signup → fallback, purchase → injected fault
+ERROR_DICT = [("^c", "C-class"), ("r$", "ends-r")]
+ERROR_FALLBACK = "no-match"
+ERROR_FAULT_PATTERN = "^pu"
+
+
+def q_error_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: a lookup that raises mid-row must not kill the job — the row
+    routes to 'failed' and passes through UNENRICHED (no fallback applied;
+    translate.rb:266-270 rescues, tags, continues). The reference's own
+    spec exercises this with a mocked raising updater
+    (translate_spec.rb:738-742); the engine analogue is the documented
+    deterministic fault injector in RegexFirstMatch, which raises INSIDE
+    the guarded per-row UDF path for keys matching the pattern — the
+    contained error then drives route='failed' through the real operator
+    logic, oracle-checked here."""
+    from ..operators.lookup import RegexFirstMatch
+
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=ERROR_DICT,
+            exact=True,
+            regex=True,
+            fallback=ERROR_FALLBACK,
+        ),
+        spark=spark,
+    )
+    op.strategy = RegexFirstMatch(
+        ERROR_DICT, fault_pattern=ERROR_FAULT_PATTERN
+    )
+    return op.apply(df).select("event_id", "event_type", "translation", "route")
+
+
+SQL_ERROR_CONTAINMENT = f"""
+SELECT event_id, event_type,
+       CASE WHEN regexp_matches(event_type, '{ERROR_FAULT_PATTERN}') THEN NULL
+            WHEN regexp_matches(event_type, '^c') THEN 'C-class'
+            WHEN regexp_matches(event_type, 'r$') THEN 'ends-r'
+            ELSE '{ERROR_FALLBACK}' END AS translation,
+       CASE WHEN regexp_matches(event_type, '{ERROR_FAULT_PATTERN}') THEN 'failed'
+            WHEN regexp_matches(event_type, '^c')
+              OR regexp_matches(event_type, 'r$') THEN 'matched'
+            ELSE 'fallback' END AS route
 FROM events
 """
 
@@ -1155,11 +1228,10 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate the routed sink. Must equal the batch oracle exactly —
     streaming and batch planes are the same logical plan."""
     import os
-    import tempfile
 
     from ..streaming.refresh import StreamingTranslate, run_streaming_pipeline
 
-    tmp = tempfile.mkdtemp(prefix="lfts_stream_q_")
+    tmp = _stream_scratch_dir("stream_q", sf_dir)
     st = StreamingTranslate(
         TranslateConfig(
             source="event_type",
@@ -1181,7 +1253,9 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_streaming_pipeline(
         spark, stream, st, tmp, f"{tmp}/ckpt", partition_cols=("route",)
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_exact: availableNow query exceeded 300s")
     routed = spark.read.parquet(f"{tmp}/routed")
     return routed.groupBy("route", "translation").agg(F.count("*").alias("cnt"))
 
@@ -1231,7 +1305,9 @@ parsed AS (
 ),
 b AS (
   SELECT event_id, k_val,
-         CAST(k_val % 10 AS VARCHAR) AS k_bucket
+         -- ((x % 10) + 10) % 10: DuckDB's % follows the dividend's sign,
+         -- Spark's pmod is always non-negative; agree by construction
+         CAST(((k_val % 10) + 10) % 10 AS VARCHAR) AS k_bucket
   FROM parsed
 )
 SELECT b.event_id, b.k_val, b.k_bucket,
@@ -1282,11 +1358,10 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch exact_dedup exactly (same oracle — streaming and batch planes
     are the same logical aggregation)."""
     import os
-    import tempfile
 
     from ..streaming.refresh import run_streaming_dedup
 
-    tmp = tempfile.mkdtemp(prefix="lfts_stream_dedup_")
+    tmp = _stream_scratch_dir("stream_dedup", sf_dir)
     src_dir = os.path.join(tmp, "src")
     os.makedirs(src_dir, exist_ok=True)
     os.symlink(
@@ -1298,7 +1373,9 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = run_streaming_dedup(
         spark, stream, "text", "doc_id", tmp, f"{tmp}/ckpt"
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming_dedup: availableNow query exceeded 300s")
     return spark.read.parquet(f"{tmp}/deduped")
 
 
@@ -1399,6 +1476,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_docs_lang": q_exact_docs_lang,
     "override_gate": q_override_gate,
     "regex_firstmatch": q_regex_firstmatch,
+    "error_containment": q_error_containment,
     "union_substitute": q_union_substitute,
     "iterate_values": q_iterate_values,
     "iterate_maps": q_iterate_maps,
@@ -1437,6 +1515,7 @@ ORACLES: Dict[str, str] = {
     "exact_docs_lang": SQL_EXACT_DOCS_LANG,
     "override_gate": SQL_OVERRIDE_GATE,
     "regex_firstmatch": SQL_REGEX_FIRSTMATCH,
+    "error_containment": SQL_ERROR_CONTAINMENT,
     "union_substitute": SQL_UNION_SUBSTITUTE,
     "iterate_values": SQL_ITERATE_VALUES,
     "iterate_maps": SQL_ITERATE_MAPS,

@@ -66,3 +66,25 @@ def test_real_regex_udf_error_column_is_null_on_success(spark):
     df = spark.createDataFrame([("aaa",), ("zzz",)], "s string")
     rows = df.select(strat.expr(F.col("s")).alias("r")).select("r.error").collect()
     assert all(r["error"] is None for r in rows)
+
+
+def test_fault_injector_routes_failed_through_real_operator(spark):
+    """The documented deterministic fault injector (RegexFirstMatch
+    fault_pattern — the engine analogue of translate_spec.rb:738-742's
+    raising updater) must produce contained errors through the REAL
+    per-row guarded path: fault rows → route='failed', unenriched."""
+    df = spark.createDataFrame(
+        [("click",), ("boomer",), ("zzz",)], "k string"
+    )
+    op = Translate(
+        TranslateConfig(
+            source="k", target="t", dictionary=[("^c", "C")],
+            exact=True, regex=True, fallback="fb",
+        ),
+        spark=spark,
+    )
+    op.strategy = RegexFirstMatch([("^c", "C")], fault_pattern="^boom")
+    out = {r["k"]: (r["t"], r["route"]) for r in op.apply(df).collect()}
+    assert out["click"] == ("C", "matched")
+    assert out["boomer"] == (None, "failed")
+    assert out["zzz"] == ("fb", "fallback")

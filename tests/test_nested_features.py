@@ -200,3 +200,92 @@ def test_typed_values_config_guards():
             source="k", dictionary=[("a", "b")],
             nested_values="typed", exact=False,
         ).validate()
+
+
+# -- literal array-index nested writes (round-3: [a][0][b] targets) --------------
+# reference: array_of_maps_value_update.rb:23-25 builds numeric set paths;
+# the columnar analogue rebuilds the array with a position-guarded transform.
+
+def test_array_index_write_scalar_element(spark):
+    from logstash_filter_translate_spark.functions.paths import (
+        parse_path, with_path,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, None)], "id int, arr array<string>"
+    )
+    out = with_path(df, parse_path("[arr][1]"), F.lit("X"))
+    rows = {r["id"]: r["arr"] for r in out.collect()}
+    assert rows[1] == ["a", "X", "c"]
+    assert rows[2] is None  # NULL array stays NULL
+
+
+def test_array_index_write_struct_field_in_element(spark):
+    from logstash_filter_translate_spark.functions.paths import (
+        parse_path, with_path,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, [{"b": "x"}, {"b": "y"}])], "id int, a array<struct<b:string>>"
+    )
+    out = with_path(df, parse_path("[a][1][b]"), F.lit("W"))
+    assert [e["b"] for e in out.collect()[0]["a"]] == ["x", "W"]
+
+
+def test_array_index_write_through_translate_target(spark):
+    # full-operator path: target addresses an array element's field
+    df = spark.createDataFrame(
+        [(1, "click", [{"t": None}, {"t": None}])],
+        "id int, k string, a array<struct<t:string>>",
+    )
+    out = Translate(
+        TranslateConfig(
+            source="k", target="[a][0][t]", dictionary={"click": "Click"},
+        ),
+        spark=spark,
+    ).apply(df)
+    row = out.collect()[0]
+    assert [e["t"] for e in row["a"]] == ["Click", None]
+    assert row["route"] == "matched"
+
+
+def test_array_index_override_gate(spark):
+    # override=false + pre-populated element value → write skipped
+    df = spark.createDataFrame(
+        [(1, "click", [{"t": "preset"}])],
+        "id int, k string, a array<struct<t:string>>",
+    )
+    out = Translate(
+        TranslateConfig(
+            source="k", target="[a][0][t]",
+            dictionary={"click": "Click"}, override=False,
+        ),
+        spark=spark,
+    ).apply(df)
+    row = out.collect()[0]
+    assert [e["t"] for e in row["a"]] == ["preset"]
+    assert row["route"] == "skipped"
+
+
+def test_array_index_out_of_bounds_raises_runtime(spark):
+    from logstash_filter_translate_spark.functions.paths import (
+        parse_path, with_path,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, ["only"])], "id int, arr array<string>")
+    with pytest.raises(Exception, match="out of bounds"):
+        with_path(df, parse_path("[arr][7]"), F.lit("X")).collect()
+
+
+def test_array_index_no_array_level_raises_plan_time(spark):
+    from logstash_filter_translate_spark.functions.paths import (
+        parse_path, with_path,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "scalar")], "id int, a string")
+    with pytest.raises(ValueError, match="array index"):
+        with_path(df, parse_path("[a][0]"), F.lit("X"))
