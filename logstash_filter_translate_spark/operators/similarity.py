@@ -112,29 +112,35 @@ def ivf_assign(
     )
 
 
-def ivf_topk(
-    corpus: DataFrame,
+def _query_cells(
     queries: DataFrame,
     centroids: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    k: int = 5,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: score only within the query's cell.
-    The scale path writes the corpus bucketed by cell so a query touches one
-    partition; here cells come from ivf_assign inline."""
-    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    cb = corpus.join(corpus_cells, id_col)
+    """(query_id, __qvec, cell): each query joined to its nearest-centroid
+    cell — the broadcast probe side of every IVF plane."""
     q_cells = ivf_assign(
         queries.select(F.col(query_id_col).alias(id_col), vec_col),
         centroids,
         id_col,
         vec_col,
     ).select(F.col(id_col).alias(query_id_col), "cell")
-    qb = queries.join(q_cells, query_id_col).select(
+    return queries.join(q_cells, query_id_col).select(
         query_id_col, F.col(vec_col).alias("__qvec"), "cell"
     )
+
+
+def _cell_scored_topk(
+    cb: DataFrame,
+    qb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared IVF tail: co-cell broadcast join → cosine → per-query top-k."""
     scored = cb.join(F.broadcast(qb), "cell").filter(
         F.col(id_col) != F.col(query_id_col)
     ).select(
@@ -148,6 +154,62 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """IVF(nprobe=1) approximate top-k: score only within the query's cell.
+    Cells come from ivf_assign inline — the one-shot plane; at scale build
+    the index once with write_ivf_index and query via ivf_topk_indexed."""
+    corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = corpus.join(corpus_cells, id_col)
+    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col)
+    return _cell_scored_topk(cb, qb, id_col, vec_col, query_id_col, k)
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-time IVF index build: assign every corpus vector to its nearest
+    centroid and write the corpus PARTITIONED BY cell. This is the
+    amortized 100 TB pass — one centroid-scoring scan + one shuffle-free
+    partitioned write; every subsequent query batch reads only its probed
+    cells' directories (partition pruning, asserted in tests)."""
+    assigned = corpus.join(
+        ivf_assign(corpus, centroids, id_col, vec_col), id_col
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 5,
+) -> DataFrame:
+    """IVF(nprobe=1) query plane over a materialized index: the corpus
+    arrives already partitioned by cell, so the co-cell join prunes the
+    scan to the probed cells — dynamic partition pruning reuses the
+    broadcast query side as the pruning subquery (no driver-side collect
+    of cell ids needed)."""
+    corpus = spark.read.parquet(index_path)
+    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col)
+    return _cell_scored_topk(corpus, qb, id_col, vec_col, query_id_col, k)
 
 
 def lsh_topk_multiband(

@@ -1042,6 +1042,24 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, centroids, k=5)
 
 
+def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index IVF plane end-to-end: build the
+    cell-partitioned index (write_ivf_index — the amortized 100 TB pass),
+    then serve the same queries from it (ivf_topk_indexed; dynamic
+    partition pruning restricts the scan to probed cells). Same oracle as
+    similarity_ivf — the index is a layout, not a semantic change."""
+    from ..operators.similarity import ivf_topk_indexed, write_ivf_index
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index_path = os.path.join(_stream_scratch_dir("ivf_index", sf_dir), "idx")
+    write_ivf_index(emb, centroids, index_path)
+    return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
+
+
 SQL_SIMILARITY_IVF = f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
@@ -1500,6 +1518,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_ivf_indexed": q_similarity_ivf_indexed,
     "corpus_filter": q_corpus_filter,
     "media_features": q_media_features,
     "streaming_dedup": q_streaming_dedup,
@@ -1539,6 +1558,7 @@ ORACLES: Dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "similarity_ivf": SQL_SIMILARITY_IVF,
+    "similarity_ivf_indexed": SQL_SIMILARITY_IVF,
     "corpus_filter": SQL_CORPUS_FILTER,
     "media_features": SQL_MEDIA_FEATURES,
     "streaming_dedup": SQL_STREAMING_DEDUP,
