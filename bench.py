@@ -70,6 +70,12 @@ HEADLINE = [
     "props_enrich",
     "near_dup_keep",
     "similarity_lsh_multiband",
+    "stratified_sample",
+    "domain_cap",
+    "repetition_ratio",
+    "contamination_check",
+    "vocab_topk",
+    "curation_pipeline",
 ]
 
 #: 12M rows: the configuration whose recorded sweeps cleared the >=0.8

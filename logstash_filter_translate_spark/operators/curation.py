@@ -1,0 +1,208 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+deterministic stratified sampling, per-domain frequency caps, repetition
+scoring, benchmark-contamination checks, and global vocabulary top-k.
+
+These are the selection/mixing stages that sit after dedup and quality
+scoring in a web-scale (Common-Crawl-style) pipeline. Every operator is
+pure DataFrame/Catalyst — no Python in the row path — and each has an
+ANSI-SQL oracle twin in plans/queries.py.
+
+Scale notes per operator live on the functions; the common theme: keep
+the corpus side unshuffled (broadcast/semi-join the small side), make
+per-group limits push down as WindowGroupLimit partial top-k, and use
+the cross-engine `hash32` (md5-prefix) wherever a sampling decision must
+be reproducible bit-for-bit across engines and reruns.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash32, tokens, word_shingles
+
+#: denominator for deterministic sampling decisions: hash32(id) % 10000
+#: gives 4 decimal digits of rate resolution, stable across engines
+SAMPLE_BUCKETS = 10_000
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: Dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``hash32(id) % 10000 < rate[stratum] * 10000``.
+
+    This is how a training-mix is drawn from a 100 TB corpus: a map-side
+    filter (no shuffle, no RNG, no state) whose decision is a pure
+    function of the row id — reruns, retries and engines agree exactly,
+    and the sample composition follows the configured per-language /
+    per-source mix. Unknown strata fall back to ``default_rate``.
+    """
+    bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(SAMPLE_BUCKETS))
+    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    expr = threshold
+    for stratum, rate in sorted(rates.items()):
+        expr = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(expr)
+    return df.filter(bucket < expr)
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Frequency capping: keep at most ``cap`` rows per domain,
+    deterministically ordered (``order_col`` desc when given — e.g. a
+    quality score — then ``id_col`` asc as the tiebreak).
+
+    The ``row_number() <= cap`` shape compiles to WindowGroupLimit:
+    every map task keeps only its local top-``cap`` per domain BEFORE the
+    shuffle, so a hot domain (the classic crawl skew: one host with 10^9
+    pages) contributes at most ``cap`` rows per input partition to the
+    exchange instead of all of them.
+    """
+    order = (
+        [F.desc(order_col), F.asc(id_col)] if order_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signal: per document, the count of the most
+    frequent word n-gram and the total n-gram count (integers, so the
+    oracle compares exactly; ratio = max/total). High ratios flag
+    boilerplate/spam for the quality filter.
+
+    Plan: explode (non-distinct) shingles → two-level hash aggregate
+    ((doc, shingle) counts reduced map-side, then per-doc max/sum). The
+    shuffle carries (doc_id, shingle-count) pairs, never documents.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(tokens(F.col(text_col)), shingle_n)).alias("s"),
+    )
+    per_shingle = sh.groupBy(id_col, "s").agg(F.count("*").alias("c"))
+    stats = per_shingle.groupBy(id_col).agg(
+        F.max("c").alias("max_ngram_cnt"),
+        F.sum("c").alias("total_ngrams"),
+    )
+    # docs with < n tokens have no shingles → (0, 0) via left join
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_ngram_cnt", F.lit(0)).alias("max_ngram_cnt"),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+        )
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination flagging: which corpus documents share at
+    least one word n-gram with any benchmark document? (The eval-set
+    decontamination pass every serious training pipeline runs; real
+    deployments use 13-grams — the n is a parameter.)
+
+    Plan: the benchmark side (small by construction) explodes to distinct
+    shingles and is DISTINCT'd then broadcast into a left-semi join
+    against the corpus shingle explode — the corpus never shuffles, and a
+    corpus document stops contributing rows after its first matching
+    shingle (semi-join short-circuit). Returns (id_col) of flagged docs.
+    """
+    bench_sh = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(F.col(text_col)), shingle_n)
+                )
+            ).alias("s")
+        )
+        .distinct()
+    )
+    corpus_sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("s"),
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "s", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str,
+    k: int,
+) -> DataFrame:
+    """Global vocabulary top-k: the k most frequent whitespace tokens with
+    counts, deterministic ties (count desc, token asc) — the first step of
+    tokenizer/vocab construction over a corpus.
+
+    Plan: explode → hash aggregate (map-side partial combine collapses
+    each partition's token counts before the shuffle, so the exchange
+    carries |vocab| rows per partition, not |tokens|) → global
+    ``ORDER BY cnt DESC, token LIMIT k`` which Spark executes as
+    TakeOrderedAndProject: each partition keeps its local top-k, the
+    driver merges k·p rows — no full sort shuffle.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+
+
+def curation_pipeline(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    strata_col: str,
+    rates: Dict[str, float],
+    domain_col: str,
+    cap: int,
+    max_repetition_pct: int = 50,
+    shingle_n: int = 3,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Composed curation pass: repetition filter → stratified sample →
+    per-domain cap, returning the kept (id, stratum, domain) set. Each
+    stage is the audited scale-safe plane above; integer percent
+    threshold keeps the repetition filter float-free across engines."""
+    rep = repetition_ratio(df, text_col, id_col, shingle_n)
+    keep_rep = rep.filter(
+        (F.col("total_ngrams") > 0)
+        & (F.col("max_ngram_cnt") * 100
+           <= F.col("total_ngrams") * max_repetition_pct)
+    ).select(id_col)
+    base = df.join(keep_rep, id_col, "left_semi")
+    sampled = stratified_sample(base, strata_col, rates, id_col, default_rate)
+    capped = domain_cap(sampled, domain_col, id_col, cap)
+    return capped.select(id_col, strata_col, domain_col)

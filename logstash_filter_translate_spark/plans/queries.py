@@ -1026,6 +1026,200 @@ WHERE q.q >= 2 AND l.lang_id <> 'und'
 SQL_CORPUS_FILTER = _sql_corpus_filter()
 
 
+# ---------------------------------------------------------------------------
+# corpus curation: sampling / capping / repetition / contamination / vocab
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 0.5, "de": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+DOMAIN_CAP = 40
+CONTAM_BENCH_STEP = 97  # doc_id % 97 == 0 → deterministic benchmark set
+VOCAB_K = 20
+CURATION_MAX_REP_PCT = 50
+
+#: DuckDB twin of functions/text.py::hash32 over a BIGINT id
+_SQL_ID_HASH32 = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language training-mix draw: map-side filter on
+    hash32(doc_id) — no shuffle, no RNG; reruns/engines agree exactly."""
+    from ..operators.curation import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "lang", SAMPLE_RATES, "doc_id", SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang")
+
+
+def _sql_rate_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * 10000)}"
+        for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return (
+        f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * 10000)} END"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_SQL_ID_HASH32} % 10000 < {_sql_rate_case()}
+"""
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency cap: at most {DOMAIN_CAP} docs per source,
+    best-first (n_chars desc, doc_id tiebreak) — WindowGroupLimit keeps
+    the hot-domain skew map-side."""
+    from ..operators.curation import domain_cap
+
+    docs = _load(spark, sf_dir, "documents")
+    return domain_cap(
+        docs, "source", "doc_id", DOMAIN_CAP, order_col="n_chars"
+    ).select("doc_id", "source")
+
+
+SQL_DOMAIN_CAP = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= {DOMAIN_CAP}
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import repetition_ratio
+
+    return repetition_ratio(
+        _load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+# CASTs: DuckDB SUM(BIGINT) is HUGEINT and COALESCE(...,0) infers INTEGER;
+# Spark's are both bigint
+SQL_REPETITION_RATIO = f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS s
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+ps AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s),
+st AS (
+  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM ps GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(st.mx, 0) AS BIGINT) AS max_ngram_cnt,
+       CAST(COALESCE(st.tot, 0) AS BIGINT) AS total_ngrams
+FROM documents d LEFT JOIN st ON st.doc_id = d.doc_id
+"""
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing >=1 word 3-gram with
+    the (deterministic) benchmark subset; benchmark members excluded."""
+    from ..operators.curation import contamination_check
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % CONTAM_BENCH_STEP == 0)
+    corpus = docs.filter(F.col("doc_id") % CONTAM_BENCH_STEP != 0)
+    return contamination_check(corpus, bench, "text", "doc_id")
+
+
+SQL_CONTAMINATION_CHECK = f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS s
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+bench AS (
+  SELECT DISTINCT s FROM sh WHERE doc_id % {CONTAM_BENCH_STEP} = 0
+)
+SELECT DISTINCT c.doc_id
+FROM sh c
+WHERE c.doc_id % {CONTAM_BENCH_STEP} <> 0
+  AND EXISTS (SELECT 1 FROM bench b WHERE b.s = c.s)
+"""
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global vocabulary top-k (token, count) — TakeOrderedAndProject,
+    no full-sort shuffle; deterministic ties (cnt desc, token asc)."""
+    from ..operators.curation import vocab_topk
+
+    return vocab_topk(_load(spark, sf_dir, "documents"), "text", VOCAB_K)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH {_SQL_TOK}
+SELECT w AS token, COUNT(*) AS cnt
+FROM tok GROUP BY w
+ORDER BY cnt DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass end-to-end: repetition filter (integer
+    percent gate) → deterministic stratified sample → per-domain cap."""
+    from ..operators.curation import curation_pipeline
+
+    docs = _load(spark, sf_dir, "documents")
+    return curation_pipeline(
+        docs,
+        "text",
+        "doc_id",
+        "lang",
+        SAMPLE_RATES,
+        "source",
+        DOMAIN_CAP,
+        max_repetition_pct=CURATION_MAX_REP_PCT,
+        default_rate=SAMPLE_DEFAULT_RATE,
+    )
+
+
+SQL_CURATION_PIPELINE = f"""
+WITH {_SQL_TOK},
+sh AS (
+  SELECT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS s
+  FROM tok t1
+  JOIN tok t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN tok t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+),
+ps AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s),
+st AS (
+  SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM ps GROUP BY doc_id
+),
+keep_rep AS (
+  SELECT doc_id FROM st
+  WHERE tot > 0 AND mx * 100 <= tot * {CURATION_MAX_REP_PCT}
+),
+sampled AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT d.doc_id AS doc_id, d.lang, d.source
+    FROM documents d JOIN keep_rep k ON k.doc_id = d.doc_id
+  ) WHERE {_SQL_ID_HASH32} % 10000 < {_sql_rate_case()}
+),
+capped AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY doc_id
+         ) AS rn
+  FROM sampled
+)
+SELECT doc_id, lang, source FROM capped WHERE rn <= {DOMAIN_CAP}
+"""
+
+
 IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
 
 
@@ -1526,6 +1720,12 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_enrich": q_props_enrich,
     "near_dup_keep": q_near_dup_keep,
     "similarity_lsh_multiband": q_similarity_lsh_multiband,
+    "stratified_sample": q_stratified_sample,
+    "domain_cap": q_domain_cap,
+    "repetition_ratio": q_repetition_ratio,
+    "contamination_check": q_contamination_check,
+    "vocab_topk": q_vocab_topk,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES: Dict[str, str] = {
@@ -1566,4 +1766,10 @@ ORACLES: Dict[str, str] = {
     "props_enrich": SQL_PROPS_ENRICH,
     "near_dup_keep": SQL_NEAR_DUP_KEEP,
     "similarity_lsh_multiband": SQL_SIMILARITY_LSH_MULTIBAND,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "domain_cap": SQL_DOMAIN_CAP,
+    "repetition_ratio": SQL_REPETITION_RATIO,
+    "contamination_check": SQL_CONTAMINATION_CHECK,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }

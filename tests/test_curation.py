@@ -1,0 +1,123 @@
+"""Corpus-curation operators (operators/curation.py): deterministic
+sampling, domain caps, repetition scoring, contamination checks, vocab
+top-k — behavioral goldens + plan-shape guards. The DuckDB oracle rows
+run via tools/selfcheck.py (stratified_sample, domain_cap,
+repetition_ratio, contamination_check, vocab_topk, curation_pipeline)."""
+
+from pyspark.sql import functions as F
+
+from logstash_filter_translate_spark.operators.curation import (
+    SAMPLE_BUCKETS,
+    contamination_check,
+    curation_pipeline,
+    domain_cap,
+    repetition_ratio,
+    stratified_sample,
+    vocab_topk,
+)
+
+
+def _docs(spark):
+    rows = [
+        # (doc_id, text, lang, source)
+        (1, "a b c a b c a b c", "en", "s1"),        # repetitive
+        (2, "one two three four five six", "en", "s1"),
+        (3, "eins zwei drei vier funf sechs", "de", "s2"),
+        (4, "un deux trois quatre cinq six", "fr", "s2"),
+        (5, "x y", "en", "s1"),                       # < 3 tokens: no shingles
+        (6, "one two three seven eight nine", "en", "s2"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_stratified_sample_is_deterministic_and_respects_rates(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("xx").alias("lang"),
+    )
+    out = stratified_sample(df, "lang", {"en": 0.5}, "doc_id", 0.0)
+    rows = out.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in rows}
+    assert "xx" not in by_lang          # default rate 0 drops the stratum
+    assert 350 < by_lang["en"] < 650    # ~50% of the 1000 en docs
+    # rerun → identical keep-set (pure function of the id, no RNG)
+    again = stratified_sample(df, "lang", {"en": 0.5}, "doc_id", 0.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_domain_cap_keeps_best_per_domain(spark):
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 8 else "d2", float(i)) for i in range(10)],
+        "doc_id long, source string, score double",
+    )
+    out = domain_cap(df, "source", "doc_id", 3, order_col="score")
+    kept = {r["source"]: sorted(x["doc_id"] for x in out.collect()
+                                if x["source"] == r["source"])
+            for r in out.select("source").distinct().collect()}
+    assert kept["d1"] == [5, 6, 7]   # top-3 scores within d1
+    assert kept["d2"] == [8, 9]      # under the cap: all kept
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark, testdata_dir):
+    # the cap must run as WindowGroupLimit (partial top-k BEFORE the
+    # exchange) so one hot crawl domain can't flood the shuffle
+    df = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    out = domain_cap(df, "source", "doc_id", 5, order_col="n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_repetition_ratio_counts(spark):
+    out = {
+        r["doc_id"]: (r["max_ngram_cnt"], r["total_ngrams"])
+        for r in repetition_ratio(_docs(spark), "text", "doc_id").collect()
+    }
+    # doc 1: 9 tokens → 7 shingles; "a b c" appears at pos 1,4,7 → max 3
+    assert out[1] == (3, 7)
+    # doc 2: 6 tokens → 4 distinct shingles, each once
+    assert out[2] == (1, 4)
+    # doc 5: fewer than 3 tokens → (0, 0), row still present
+    assert out[5] == (0, 0)
+
+
+def test_contamination_check_flags_shared_shingles(spark):
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") == 2)       # "one two three ..."
+    corpus = docs.filter(F.col("doc_id") != 2)
+    flagged = sorted(
+        r["doc_id"]
+        for r in contamination_check(corpus, bench, "text", "doc_id").collect()
+    )
+    # doc 6 shares the "one two three" shingle; nothing else overlaps
+    assert flagged == [6]
+
+
+def test_vocab_topk_deterministic_ties(spark):
+    out = vocab_topk(_docs(spark), "text", 3).collect()
+    # 'a','b','c' appear 3x each; 'six' 2x — ties break token-asc
+    assert [(r["token"], r["cnt"]) for r in out] == [
+        ("a", 3), ("b", 3), ("c", 3)
+    ]
+
+
+def test_curation_pipeline_composes(spark):
+    out = curation_pipeline(
+        _docs(spark),
+        "text",
+        "doc_id",
+        "lang",
+        {"en": 1.0, "de": 1.0, "fr": 1.0},
+        "source",
+        cap=10,
+        max_repetition_pct=50,
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # doc 1 (max 3 of 7 shingles = 43% <= 50%) survives; doc 5 has zero
+    # shingles → dropped by the repetition gate's total>0 requirement
+    assert 5 not in kept
+    assert 1 in kept and 2 in kept
+    assert SAMPLE_BUCKETS == 10_000  # rate resolution contract
