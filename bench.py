@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_ratio",
     "contamination_check",
     "vocab_topk",
+    "corpus_stats",
     "curation_pipeline",
 ]
 

@@ -227,22 +227,34 @@ def lsh_topk_multiband(
     band's bucket join stays narrow). Candidates are unioned and deduped
     BEFORE scoring, so each (query, candidate) cosine is computed once.
 
-    At corpus scale each band is one bucket-equi-join against a corpus
-    written partitioned by (band, bucket); the union is a cheap narrow
-    concat of candidate id pairs."""
-    cand = None
-    for planes in bands:
-        cb = corpus.select(
-            F.col(id_col),
-            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+    At corpus scale the corpus is scanned ONCE: every band's bucket id is
+    computed in the same projection and exploded to (id, band_idx,
+    bucket) rows, then a single equi-join on (band_idx, bucket) against
+    the identically-exploded query side yields the OR-of-bands candidate
+    set — one scan + one narrow join instead of |bands| scans + a union
+    (r3 plan fix; at a 100 TB corpus the per-band rescans were the cost)."""
+
+    def banded(df: DataFrame, key: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("__band"),
+                    hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+                )
+                for i, planes in enumerate(bands)
+            ]
         )
-        qb = queries.select(
-            F.col(query_id_col),
-            hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
-        )
-        pairs = cb.join(qb, "__bucket").select(query_id_col, id_col)
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct().filter(F.col(id_col) != F.col(query_id_col))
+        return df.select(
+            F.col(key), F.explode(buckets).alias("b")
+        ).select(key, "b.__band", "b.__bucket")
+
+    cand = (
+        banded(corpus, id_col)
+        .join(F.broadcast(banded(queries, query_id_col)), ["__band", "__bucket"])
+        .select(query_id_col, id_col)
+        .distinct()
+        .filter(F.col(id_col) != F.col(query_id_col))
+    )
     scored = (
         cand.join(corpus.select(id_col, vec_col), id_col)
         .join(

@@ -1168,6 +1168,33 @@ LIMIT {VOCAB_K}
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile (doc count, char/token sums, size
+    range) — the summary every training-mix decision starts from. One
+    hash aggregate with map-side partial combine; the shuffle carries
+    |langs| rows per partition."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.size(tokens(F.col("text")))).alias("sum_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# CASTs: DuckDB SUM(BIGINT) → HUGEINT; Spark's stays bigint
+SQL_CORPUS_STATS = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed curation pass end-to-end: repetition filter (integer
     percent gate) → deterministic stratified sample → per-domain cap."""
@@ -1725,6 +1752,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_ratio": q_repetition_ratio,
     "contamination_check": q_contamination_check,
     "vocab_topk": q_vocab_topk,
+    "corpus_stats": q_corpus_stats,
     "curation_pipeline": q_curation_pipeline,
 }
 
@@ -1771,5 +1799,6 @@ ORACLES: Dict[str, str] = {
     "repetition_ratio": SQL_REPETITION_RATIO,
     "contamination_check": SQL_CONTAMINATION_CHECK,
     "vocab_topk": SQL_VOCAB_TOPK,
+    "corpus_stats": SQL_CORPUS_STATS,
     "curation_pipeline": SQL_CURATION_PIPELINE,
 }
