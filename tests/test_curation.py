@@ -121,3 +121,69 @@ def test_curation_pipeline_composes(spark):
     assert 5 not in kept
     assert 1 in kept and 2 in kept
     assert SAMPLE_BUCKETS == 10_000  # rate resolution contract
+
+
+# -- property invariants ---------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_PROP = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow, HealthCheck.function_scoped_fixture,
+    ],
+)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1, max_size=40, unique=True,
+    ),
+    rate_pct=st.integers(min_value=0, max_value=100),
+)
+@_PROP
+def test_stratified_sample_monotone_and_subset(spark, ids, rate_pct):
+    # raising the rate can only ADD rows (the hash threshold is a pure
+    # function of the id), and every kept row existed in the input
+    df = spark.createDataFrame([(i, "en") for i in ids], "doc_id long, lang string")
+    lo = stratified_sample(df, "lang", {"en": rate_pct / 100}, "doc_id")
+    hi = stratified_sample(df, "lang", {"en": min(1.0, rate_pct / 100 + 0.25)},
+                           "doc_id")
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    assert lo_ids <= hi_ids <= set(ids)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.sampled_from(["d1", "d2", "d3"]),
+        ),
+        min_size=1, max_size=40, unique_by=lambda t: t[0],
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+@_PROP
+def test_domain_cap_never_exceeds_cap(spark, rows, cap):
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = domain_cap(df, "source", "doc_id", cap)
+    counts = {
+        r["source"]: r["count"]
+        for r in out.groupBy("source").count().collect()
+    }
+    assert all(c <= cap for c in counts.values())
+    # deterministic choice: lowest ids win per domain
+    import collections
+
+    per = collections.defaultdict(list)
+    for i, s in rows:
+        per[s].append(i)
+    expected = {s: sorted(v)[:cap] for s, v in per.items()}
+    got = collections.defaultdict(list)
+    for r in out.collect():
+        got[r["source"]].append(r["doc_id"])
+    assert {s: sorted(v) for s, v in got.items()} == expected
