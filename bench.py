@@ -390,7 +390,9 @@ def main() -> None:
     extras = {}
     if all_reps:
         # label the headline statistic explicitly and emit the mean-of-reps
-        # total alongside (round-2 advice: don't report only best-of-2)
+        # total alongside (round-2 advice: don't report only best-of-2).
+        # Full per-query rep times go to a side file — keeping the stdout
+        # JSON line compact so log-tail capture can never truncate it.
         extras["headline"] = {
             "protocol": "per-query best-of-2, steady-state session, "
             "cold plan per run",
@@ -398,9 +400,14 @@ def main() -> None:
             "total_mean_of_2": round(
                 sum(sum(r) / len(r) for r in all_reps.values()), 3
             ),
-            "per_query_reps": {k: [round(x, 3) for x in v]
-                               for k, v in all_reps.items()},
+            "per_query_reps_file": f"BENCH/HEADLINE_{ROUND_TAG}.json",
         }
+        os.makedirs(rp("BENCH"), exist_ok=True)
+        with open(rp(f"BENCH/HEADLINE_{ROUND_TAG}.json"), "w") as fh:
+            json.dump(
+                {k: [round(x, 3) for x in v] for k, v in all_reps.items()},
+                fh,
+            )
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         try:
             scaling = run_scaling()

@@ -242,6 +242,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     pairs: DataFrame,
     shingle_n: int = 3,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact Jaccard (distinct word n-grams) for given candidate (id_a, id_b)
     pairs; returns (id_a, id_b, n_intersect, n_union) — integers so the
@@ -254,19 +255,27 @@ def ngram_jaccard_pairs(
     documents, not the corpus — at 100 TB with a tiny candidate fraction
     the full-corpus shingle explode never materializes (round-2 judge
     finding #2; guarded by tests/test_plan_guards.py).
+
+    ``prefilter=False`` skips the semi-join for callers that KNOW the
+    candidate set already covers (nearly) every document — there the
+    reduction is pure overhead (the all-adjacent-pairs audit query is
+    the example); the default stays on for the real LSH-candidate shape.
     """
-    # pairs is referenced three times (candidate-id set, intersect join,
+    # pairs is referenced 2-3 times (candidate-id set, intersect join,
     # final left join) — materialize once instead of recomputing the LSH
     # subtree per reference; localCheckpoint (not persist) so the blocks
     # are GC-released with the frame
     pairs = pairs.localCheckpoint(eager=False)
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    base = df
+    if prefilter:
+        cand_ids = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        base = df.join(cand_ids, id_col, "left_semi")
     sh = (
-        df.join(cand_ids, id_col, "left_semi")
+        base
         .select(
             F.col(id_col),
             F.explode(

@@ -654,7 +654,10 @@ def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
     )
-    return ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
+    # every document is in a candidate pair here (adjacent ids), so the
+    # semi-join reduction would be pure overhead — skip it; near_dup_keep
+    # exercises the prefiltered (real LSH-candidate) shape
+    return ngram_jaccard_pairs(docs, "text", "doc_id", pairs, prefilter=False)
 
 
 SQL_JACCARD_ADJACENT = f"""

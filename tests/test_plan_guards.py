@@ -97,12 +97,10 @@ def test_jaccard_verify_prefilters_shingle_explode(spark, testdata_dir):
     # round-2 judge finding #2: the Jaccard verify stage must explode
     # shingles only for documents that appear in a candidate pair — the
     # corpus is semi-joined against the pair-id set BEFORE the explode,
-    # so the verify shuffle is proportional to candidates, not the corpus
-    from logstash_filter_translate_spark.plans.queries import (
-        q_jaccard_adjacent,
-        q_near_dup_keep,
-    )
+    # so the verify shuffle is proportional to candidates, not the corpus.
+    # (jaccard_adjacent opts out: its candidate set IS the corpus, making
+    # the reduction pure overhead — the operator default stays on.)
+    from logstash_filter_translate_spark.plans.queries import q_near_dup_keep
 
-    for q in (q_jaccard_adjacent, q_near_dup_keep):
-        p = plan_of(q(spark, testdata_dir))
-        assert "LeftSemi" in p, q.__name__
+    p = plan_of(q_near_dup_keep(spark, testdata_dir))
+    assert "LeftSemi" in p
