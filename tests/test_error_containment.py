@@ -88,3 +88,25 @@ def test_fault_injector_routes_failed_through_real_operator(spark):
     assert out["click"] == ("C", "matched")
     assert out["boomer"] == (None, "failed")
     assert out["zzz"] == ("fb", "fallback")
+
+
+def test_fault_injector_array_plane_routes_failed(spark):
+    """O10 through the iterate_on (array) UDF plane: an element raising
+    inside the guarded path marks the ROW failed (any_error semantics);
+    clean rows translate/fallback normally."""
+    df = spark.createDataFrame(
+        [(1, ["click", "zzz"]), (2, ["boomer"]), (3, ["zzz"])],
+        "id int, ks array<string>",
+    )
+    op = Translate(
+        TranslateConfig(
+            source="ks", iterate_on="ks", target="t",
+            dictionary=[("^c", "C")], exact=True, regex=True, fallback="fb",
+        ),
+        spark=spark,
+    )
+    op.strategy = RegexFirstMatch([("^c", "C")], fault_pattern="^boom")
+    out = {r["id"]: (r["t"], r["route"]) for r in op.apply(df).collect()}
+    assert out[1] == (["C", "fb"], "matched")
+    assert out[2][1] == "failed"
+    assert out[3] == (["fb"], "fallback")
