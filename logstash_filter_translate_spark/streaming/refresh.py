@@ -71,7 +71,9 @@ def run_streaming_pipeline(
     refresh_every_batch: bool = False,
 ):
     """source_df: a streaming DataFrame (readStream). Writes routed parquet
-    fan-out per micro-batch; refreshes the dictionary between batches.
+    fan-out per micro-batch (partitioned ``__batch_id/route[/...]``, each
+    batch a dynamic-overwrite of its own partitions → replay-idempotent);
+    refreshes the dictionary between batches.
 
     Returns the StreamingQuery. ``trigger_once`` processes available data
     then stops (the batch-equivalent mode used in tests and backfills).
@@ -85,10 +87,15 @@ def run_streaming_pipeline(
         out = st.apply(batch_df)
         if post is not None:
             out = post(out)
+        # idempotent replay: __batch_id leads the partition spec and the
+        # write is a DYNAMIC partition overwrite, so a restarted in-flight
+        # batch rewrites exactly its own partitions instead of appending a
+        # duplicate copy (no reader-side dedup needed)
         (
             out.withColumn("__batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy(*partition_cols)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__batch_id", *partition_cols)
             .parquet(os.path.join(out_dir, "routed"))
         )
 

@@ -204,3 +204,36 @@ def test_sessionize_streaming_state_matches_batch_plane(spark, tmp_path):
         ).collect()
     }
     assert got == batch
+
+
+def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (restart with a lost/fresh checkpoint, same
+    source) rewrites its own __batch_id partitions via dynamic overwrite
+    instead of appending a duplicate copy — the sink needs no reader-side
+    dedup to be exactly-once."""
+    src_dir = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame([("a",), ("z",)], "k string").write.parquet(src_dir)
+
+    def run(ckpt):
+        st = StreamingTranslate(
+            TranslateConfig(source="k", dictionary={"a": "1"}, fallback="fb"),
+            spark,
+        )
+        stream = spark.readStream.schema("k string").parquet(src_dir)
+        q = run_streaming_pipeline(
+            spark, stream, st, out_dir, str(tmp_path / ckpt)
+        )
+        assert q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out_dir, "routed"))
+            .select("k", "translation", "route").collect())
+    )
+    run("ckpt2")  # fresh checkpoint → batch 0 replayed into the same sink
+    second = sorted(
+        map(tuple, spark.read.parquet(os.path.join(out_dir, "routed"))
+            .select("k", "translation", "route").collect())
+    )
+    assert first == second  # no duplicated rows after the replay
