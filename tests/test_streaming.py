@@ -237,3 +237,66 @@ def test_streaming_sink_replay_is_idempotent(spark, tmp_path):
             .select("k", "translation", "route").collect())
     )
     assert first == second  # no duplicated rows after the replay
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """True streaming watermark semantics (not just the batch plane).
+    Spark's append-mode aggregation finalizes+emits a window at the end
+    of the batch whose (start-of-batch) watermark passed the window end,
+    and DROPS rows that arrive after that eviction. Batch layout
+    (maxFilesPerTrigger=1 → one micro-batch per source file):
+      b0: on-time rows + a 10:25 event → watermark becomes 10:15
+      b1: innocuous 10:26 row; wm 10:15 in effect → window [10:00,10:10)
+          finalized and emitted with cnt=2
+      b2: LATE 10:02 row — state already evicted → dropped, no
+          re-emission, count stays 2
+    """
+    import time as _t
+
+    src = str(tmp_path / "wm_src")
+
+    def write(rows, mode="append"):
+        spark.createDataFrame(rows, "ts string, route string").withColumn(
+            "warc_ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode(mode).parquet(src)
+        _t.sleep(1.1)  # FileStreamSource orders batches by file mtime
+
+    write(
+        [
+            ("2026-01-01 10:00:10", "matched"),
+            ("2026-01-01 10:05:00", "matched"),
+            ("2026-01-01 10:25:00", "matched"),
+        ],
+        mode="overwrite",
+    )
+    write([("2026-01-01 10:26:00", "matched")])
+    write([("2026-01-01 10:02:00", "matched")])  # LATE
+
+    stream = (
+        spark.readStream.schema("ts string, route string, warc_ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = windowed_route_counts(stream, window="10 minutes",
+                                watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory").queryName("wm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    emitted = [
+        (str(r["window_start"]), r["route"], r["cnt"])
+        for r in spark.sql("SELECT * FROM wm_out").collect()
+        if str(r["window_start"]) == "2026-01-01 10:00:00"
+    ]
+    # exactly ONE emission of the finalized window, without the late row
+    assert emitted == [("2026-01-01 10:00:00", "matched", 2)]
+    dropped = sum(
+        p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped >= 1  # the late 10:02 row was discarded by watermark
