@@ -70,6 +70,7 @@ HEADLINE = [
     "props_enrich",
     "near_dup_keep",
     "similarity_lsh_multiband",
+    "table_dict_enrich",
     "stratified_sample",
     "domain_cap",
     "repetition_ratio",

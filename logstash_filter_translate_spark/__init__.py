@@ -18,6 +18,7 @@ from .operators.translate import (
     ROUTE_UNMATCHED,
     Translate,
     translate,
+    translate_with_table,
 )
 from .sources.dictionary import (
     DictionaryFile,
@@ -30,6 +31,7 @@ __all__ = [
     "TranslateConfigError",
     "Translate",
     "translate",
+    "translate_with_table",
     "DictionaryFile",
     "DictionaryLoadError",
     "load_dictionary_file",

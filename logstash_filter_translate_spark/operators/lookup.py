@@ -300,6 +300,65 @@ class ExactBroadcastJoin(LookupStrategy):
         ).drop("__lfts_k", "__lfts_v", "__lfts_key")
 
 
+class ExactFrameJoin(ExactBroadcastJoin):
+    """Exact probe against a DICTIONARY TABLE — a (key, value) DataFrame
+    instead of an in-memory pairs list. The 100 TB dictionary story: the
+    reference can only load files into a Ruby hash; at cluster scale the
+    dictionary is itself a table (a parquet/Iceberg dimension, a derived
+    frame), possibly too large to hold on the driver at all.
+
+    ``broadcast=True`` (default) forces the broadcast-hash-join plane
+    (the dictionary fits executor memory: up to ~hundreds of MB).
+    ``broadcast=False`` defers the join strategy to Catalyst+AQE: a
+    small dimension still broadcasts at runtime; a genuinely huge
+    dictionary shuffle-plans (hash/sort-merge) — the only plane that
+    works when neither side fits one machine. Duplicate keys are
+    resolved deterministically (lowest value wins) to keep the
+    one-value-per-key dictionary contract.
+    """
+
+    def __init__(
+        self,
+        dict_df: DataFrame,
+        key_col: str,
+        value_col: str,
+        broadcast: bool = True,
+    ):
+        value_field = dict_df.schema[value_col]
+        self.value_type = value_field.dataType
+        self.values_are_json = False
+        self.broadcast = broadcast
+        dedup = (
+            dict_df.select(
+                F.col(key_col).cast("string").alias("__lfts_k"),
+                F.col(value_col).alias("__lfts_v"),
+            )
+            .groupBy("__lfts_k")
+            .agg(F.min("__lfts_v").alias("__lfts_v"))
+        )
+        self.dict_df = dedup
+
+    def join(self, df: DataFrame, key: Column, result_col: str) -> DataFrame:
+        if self.broadcast:
+            return super().join(df, key, result_col)
+        probe = df.withColumn("__lfts_key", key)
+        joined = probe.join(
+            self.dict_df,
+            probe["__lfts_key"].eqNullSafe(self.dict_df["__lfts_k"]),
+            "left",
+        )
+        matched = joined["__lfts_k"].isNotNull()
+        return joined.withColumn(
+            result_col,
+            F.struct(
+                matched.alias("matched"),
+                F.when(matched, joined["__lfts_v"]).alias("value"),
+                F.when(matched, joined["__lfts_key"]).alias("key"),
+                F.lit(None).cast("string").alias("error"),
+            ),
+        ).drop("__lfts_k", "__lfts_v", "__lfts_key")
+
+
 # ---------------------------------------------------------------------------
 # O2 — ordered first-match regex
 # ---------------------------------------------------------------------------

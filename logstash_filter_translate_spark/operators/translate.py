@@ -786,3 +786,48 @@ def translate(
         matched_key_col=matched_key_col,
         iterate_key=iterate_key,
     )
+
+
+def translate_with_table(
+    df: DataFrame,
+    source: str,
+    dict_df: DataFrame,
+    key_col: str,
+    value_col: str,
+    target: Optional[str] = None,
+    fallback: Optional[str] = None,
+    override: Optional[bool] = None,
+    broadcast: bool = True,
+    route_col: str = "route",
+    matched_key_col: Optional[str] = None,
+) -> DataFrame:
+    """Translate against a DICTIONARY TABLE — the exact_match semantics
+    (override gate, fallback, route tagging) with the dictionary supplied
+    as a (key, value) DataFrame instead of an in-memory pairs list.
+
+    This is the form the reference cannot express (its dictionary is a
+    driver-side Ruby hash loaded from a file — translate.rb:141-162) but
+    a 100 TB deployment needs: the dictionary is itself a table (an
+    Iceberg/parquet dimension or a derived frame), refreshed by rewriting
+    the table. ``broadcast=True`` forces the broadcast-hash-join plane
+    (dictionary known to fit executor memory); ``broadcast=False`` defers
+    the strategy to Catalyst+AQE — it still broadcasts a small dimension
+    at runtime, and shuffle-plans a dictionary too large for any single
+    machine (the case no driver-side Ruby hash can represent at all).
+    Duplicate keys resolve deterministically (lowest value) to preserve
+    the one-value-per-key contract.
+    """
+    from .lookup import ExactFrameJoin
+
+    cfg = TranslateConfig(
+        source=source,
+        target=target,
+        dictionary={},
+        fallback=fallback,
+        override=override,
+    )
+    op = Translate(cfg, spark=df.sparkSession)
+    op.strategy = ExactFrameJoin(dict_df, key_col, value_col, broadcast)
+    return op.apply(
+        df, route_col=route_col, matched_key_col=matched_key_col
+    )

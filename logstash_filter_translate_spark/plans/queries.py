@@ -1030,6 +1030,49 @@ SQL_CORPUS_FILTER = _sql_corpus_filter()
 
 
 # ---------------------------------------------------------------------------
+# table-backed dictionary (the 100 TB dictionary shape)
+# ---------------------------------------------------------------------------
+
+def q_table_dict_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translate against a DICTIONARY TABLE: the dictionary is a derived
+    frame (nation ⋈ region → nationkey→region name, region 0 withheld so
+    the fallback route is exercised) instead of an in-memory pairs list —
+    the shape a 10^9-entry dictionary takes at cluster scale. Same
+    override/fallback/route semantics through the same operator body."""
+    from ..operators.translate import translate_with_table
+
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    dict_df = (
+        nation.join(
+            region, nation["n_regionkey"] == region["r_regionkey"]
+        )
+        .filter(F.col("r_regionkey") != 0)
+        .select("n_nationkey", "r_name")
+    )
+    out = translate_with_table(
+        cust, "c_nationkey", dict_df, "n_nationkey", "r_name",
+        target="region_name", fallback="no-region",
+    )
+    return out.select("c_custkey", "c_nationkey", "region_name", "route")
+
+
+SQL_TABLE_DICT_ENRICH = """
+WITH d AS (
+  SELECT CAST(n.n_nationkey AS VARCHAR) AS k, MIN(r.r_name) AS v
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_regionkey <> 0
+  GROUP BY 1
+)
+SELECT c.c_custkey, c.c_nationkey,
+       COALESCE(d.v, 'no-region') AS region_name,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM customer c LEFT JOIN d ON CAST(c.c_nationkey AS VARCHAR) = d.k
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus curation: sampling / capping / repetition / contamination / vocab
 # ---------------------------------------------------------------------------
 
@@ -1759,6 +1802,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_enrich": q_props_enrich,
     "near_dup_keep": q_near_dup_keep,
     "similarity_lsh_multiband": q_similarity_lsh_multiband,
+    "table_dict_enrich": q_table_dict_enrich,
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
     "repetition_ratio": q_repetition_ratio,
@@ -1806,6 +1850,7 @@ ORACLES: Dict[str, str] = {
     "props_enrich": SQL_PROPS_ENRICH,
     "near_dup_keep": SQL_NEAR_DUP_KEEP,
     "similarity_lsh_multiband": SQL_SIMILARITY_LSH_MULTIBAND,
+    "table_dict_enrich": SQL_TABLE_DICT_ENRICH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "repetition_ratio": SQL_REPETITION_RATIO,

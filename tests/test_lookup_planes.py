@@ -91,3 +91,71 @@ def test_union_matched_key_tracking_forces_udf_plane(spark):
     )
     out = op.apply(df, matched_key_col="mk").collect()[0]
     assert out["mk"] == "500" and out["t"] == "see SE here"
+
+
+# -- table-backed dictionary plane (r3) ------------------------------------------
+
+def test_table_dictionary_matches_pairs_dictionary(spark):
+    """translate_with_table must equal translate() with the same mapping
+    materialized as pairs — same routes, values, fallback behavior."""
+    from logstash_filter_translate_spark import translate, translate_with_table
+
+    df = spark.createDataFrame([("a",), ("b",), ("z",)], "k string")
+    dict_df = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "key string, val string"
+    )
+    via_table = translate_with_table(
+        df, "k", dict_df, "key", "val", target="t", fallback="fb"
+    )
+    via_pairs = translate(
+        df, source="k", target="t", dictionary={"a": "A", "b": "B"},
+        fallback="fb", physical="join",
+    )
+    assert sorted(map(tuple, via_table.collect())) == sorted(
+        map(tuple, via_pairs.collect())
+    )
+
+
+def test_table_dictionary_duplicate_keys_resolve_deterministically(spark):
+    from logstash_filter_translate_spark import translate_with_table
+
+    df = spark.createDataFrame([("a",)], "k string")
+    dict_df = spark.createDataFrame(
+        [("a", "z-last"), ("a", "a-first")], "key string, val string"
+    )
+    out = translate_with_table(df, "k", dict_df, "key", "val", target="t")
+    assert out.collect()[0]["t"] == "a-first"  # lowest value wins
+
+
+def test_table_dictionary_override_gate(spark):
+    from logstash_filter_translate_spark import translate_with_table
+
+    df = spark.createDataFrame(
+        [("a", "preset"), ("b", None)], "k string, t string"
+    )
+    dict_df = spark.createDataFrame(
+        [("a", "A"), ("b", "B")], "key string, val string"
+    )
+    out = translate_with_table(
+        df, "k", dict_df, "key", "val", target="t", override=False
+    )
+    got = {r["k"]: (r["t"], r["route"]) for r in out.collect()}
+    assert got["a"] == ("preset", "skipped")
+    assert got["b"] == ("B", "matched")
+
+
+def test_table_dictionary_probe_side_not_shuffled(spark):
+    from logstash_filter_translate_spark import translate_with_table
+
+    df = spark.range(1000).selectExpr("CAST(id AS STRING) AS k")
+    dict_df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(100)], "key string, val string"
+    )
+    out = translate_with_table(df, "k", dict_df, "key", "val", target="t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only hash Exchange allowed is INSIDE the broadcast build side
+    # (the dictionary's duplicate-key dedup aggregate — proportional to
+    # dictionary size); the probe (100 TB) side must not shuffle
+    probe_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side
