@@ -71,6 +71,7 @@ HEADLINE = [
     "near_dup_keep",
     "similarity_lsh_multiband",
     "table_dict_enrich",
+    "pii_redact",
     "stratified_sample",
     "domain_cap",
     "repetition_ratio",

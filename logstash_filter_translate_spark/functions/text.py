@@ -239,3 +239,37 @@ def langid_scores(
     return df.select(id_col).join(best, id_col, "left").select(
         id_col, F.coalesce("lang_id", F.lit("und")).alias("lang_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrub)
+# ---------------------------------------------------------------------------
+
+#: default redaction rules: (pattern, replacement-token). Patterns stay in
+#: the Java-regex ∩ RE2 common subset so the DuckDB oracle states the same
+#: substitution; extend per deployment (SSNs, IBANs, ...).
+PII_RULES: List[Tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}", "<PHONE>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact(col: Column, rules: List[Tuple[str, str]] = PII_RULES) -> Column:
+    """Replace every occurrence of every rule pattern with its token — the
+    standard pre-training PII scrub, as a whole-stage-codegen
+    ``regexp_replace`` chain (one pass per rule, JVM-side, no Python).
+    Rule order matters: earlier rules consume their text first (an email
+    is redacted before the IP rule could see its host part)."""
+    out = col
+    for pattern, token in rules:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_counts(
+    col: Column, rules: List[Tuple[str, str]] = PII_RULES
+) -> List[Column]:
+    """Per-rule match counts (audit metric for the scrub) — codegen
+    ``regexp_count``; order-independent, computed on the ORIGINAL text."""
+    return [F.regexp_count(col, F.lit(p)) for p, _ in rules]

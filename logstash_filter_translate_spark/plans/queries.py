@@ -1030,6 +1030,63 @@ SQL_CORPUS_FILTER = _sql_corpus_filter()
 
 
 # ---------------------------------------------------------------------------
+# PII redaction (training-data scrub)
+# ---------------------------------------------------------------------------
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over a deterministic contact-laden text (emails, phones,
+    IPs injected from doc_id so the oracle can state the same rows):
+    codegen regexp_replace chain + per-rule audit counts."""
+    from ..functions.text import redact, redaction_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    padded = F.lpad(did, 4, "0")
+    contact = F.concat(
+        F.lit("doc "), did,
+        F.lit(" mail user"), padded, F.lit("@example.com"),
+        F.lit(" tel +1-555-"), padded,
+        F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 end"),
+    )
+    n = redaction_counts(contact)
+    return docs.select(
+        "doc_id",
+        redact(contact).alias("redacted"),
+        n[0].cast("bigint").alias("n_emails"),
+        n[1].cast("bigint").alias("n_phones"),
+        n[2].cast("bigint").alias("n_ips"),
+    )
+
+
+_SQL_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_SQL_PII_PHONE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{3,10}"
+_SQL_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+SQL_PII_REDACT = """
+WITH c AS (
+  SELECT doc_id,
+         'doc ' || CAST(doc_id AS VARCHAR)
+         || ' mail user' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+         || '@example.com tel +1-555-'
+         || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end'
+         AS contact
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         contact, '{email}', '<EMAIL>', 'g'),
+         '{phone}', '<PHONE>', 'g'),
+         '{ip}', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(contact, '{email}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(contact, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(contact, '{ip}')) AS BIGINT) AS n_ips
+FROM c
+""".format(email=_SQL_PII_EMAIL, phone=_SQL_PII_PHONE, ip=_SQL_PII_IP)
+
+
+# ---------------------------------------------------------------------------
 # table-backed dictionary (the 100 TB dictionary shape)
 # ---------------------------------------------------------------------------
 
@@ -1802,6 +1859,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "props_enrich": q_props_enrich,
     "near_dup_keep": q_near_dup_keep,
     "similarity_lsh_multiband": q_similarity_lsh_multiband,
+    "pii_redact": q_pii_redact,
     "table_dict_enrich": q_table_dict_enrich,
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
@@ -1850,6 +1908,7 @@ ORACLES: Dict[str, str] = {
     "props_enrich": SQL_PROPS_ENRICH,
     "near_dup_keep": SQL_NEAR_DUP_KEEP,
     "similarity_lsh_multiband": SQL_SIMILARITY_LSH_MULTIBAND,
+    "pii_redact": SQL_PII_REDACT,
     "table_dict_enrich": SQL_TABLE_DICT_ENRICH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,

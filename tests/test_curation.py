@@ -187,3 +187,27 @@ def test_domain_cap_never_exceeds_cap(spark, rows, cap):
     for r in out.collect():
         got[r["source"]].append(r["doc_id"])
     assert {s: sorted(v) for s, v in got.items()} == expected
+
+
+def test_pii_redaction_rules_and_order(spark):
+    from logstash_filter_translate_spark.functions.text import (
+        redact, redaction_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("write to a.b+c@x-corp.co.uk or call +44-123-4567, "
+          "server at 192.168.0.1 stays hidden",),
+         ("no pii here",)],
+        "s string",
+    )
+    n = redaction_counts(F.col("s"))
+    out = df.select(
+        redact(F.col("s")).alias("r"),
+        n[0].alias("ne"), n[1].alias("np"), n[2].alias("ni"),
+    ).collect()
+    assert out[0]["r"] == (
+        "write to <EMAIL> or call <PHONE>, server at <IP> stays hidden"
+    )
+    assert (out[0]["ne"], out[0]["np"], out[0]["ni"]) == (1, 1, 1)
+    assert out[1]["r"] == "no pii here"
+    assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (0, 0, 0)
