@@ -72,6 +72,7 @@ HEADLINE = [
     "similarity_lsh_multiband",
     "table_dict_enrich",
     "pii_redact",
+    "lineitem_brand_enrich",
     "stratified_sample",
     "domain_cap",
     "repetition_ratio",

@@ -1115,6 +1115,39 @@ def q_table_dict_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_nationkey", "region_name", "route")
 
 
+def q_lineitem_brand_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table dictionary over the LARGEST provided table: every lineitem
+    probes a part→brand dictionary (keys p_partkey % 7 == 0 withheld so
+    the fallback route is nonzero), then per-(brand, route) counts. The
+    probe side — the 100 TB side in production — stays unshuffled until
+    the final small aggregate."""
+    from ..operators.translate import translate_with_table
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    dict_df = part.filter(F.col("p_partkey") % 7 != 0).select(
+        "p_partkey", "p_brand"
+    )
+    out = translate_with_table(
+        li, "l_partkey", dict_df, "p_partkey", "p_brand",
+        target="brand", fallback="no-brand",
+    )
+    return out.groupBy("brand", "route").agg(F.count("*").alias("cnt"))
+
+
+SQL_LINEITEM_BRAND_ENRICH = """
+WITH d AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS k, MIN(p_brand) AS v
+  FROM part WHERE p_partkey % 7 <> 0 GROUP BY 1
+)
+SELECT COALESCE(d.v, 'no-brand') AS brand,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route,
+       COUNT(*) AS cnt
+FROM lineitem l LEFT JOIN d ON CAST(l.l_partkey AS VARCHAR) = d.k
+GROUP BY 1, 2
+"""
+
+
 SQL_TABLE_DICT_ENRICH = """
 WITH d AS (
   SELECT CAST(n.n_nationkey AS VARCHAR) AS k, MIN(r.r_name) AS v
@@ -1861,6 +1894,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_lsh_multiband": q_similarity_lsh_multiband,
     "pii_redact": q_pii_redact,
     "table_dict_enrich": q_table_dict_enrich,
+    "lineitem_brand_enrich": q_lineitem_brand_enrich,
     "stratified_sample": q_stratified_sample,
     "domain_cap": q_domain_cap,
     "repetition_ratio": q_repetition_ratio,
@@ -1910,6 +1944,7 @@ ORACLES: Dict[str, str] = {
     "similarity_lsh_multiband": SQL_SIMILARITY_LSH_MULTIBAND,
     "pii_redact": SQL_PII_REDACT,
     "table_dict_enrich": SQL_TABLE_DICT_ENRICH,
+    "lineitem_brand_enrich": SQL_LINEITEM_BRAND_ENRICH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "domain_cap": SQL_DOMAIN_CAP,
     "repetition_ratio": SQL_REPETITION_RATIO,
