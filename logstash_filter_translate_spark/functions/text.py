@@ -271,5 +271,14 @@ def redaction_counts(
     col: Column, rules: List[Tuple[str, str]] = PII_RULES
 ) -> List[Column]:
     """Per-rule match counts (audit metric for the scrub) — codegen
-    ``regexp_count``; order-independent, computed on the ORIGINAL text."""
-    return [F.regexp_count(col, F.lit(p)) for p, _ in rules]
+    ``regexp_count``. Each rule is counted against the text with all EARLIER
+    rules already applied (the same chaining ``redact`` uses), so counts
+    equal actual substitutions even when rule matches overlap — e.g. an
+    IP-shaped or phone-shaped substring inside an email that the email rule
+    consumed first is not double-counted (round-3 advice)."""
+    out: List[Column] = []
+    cur = col
+    for pattern, token in rules:
+        out.append(F.regexp_count(cur, F.lit(pattern)))
+        cur = F.regexp_replace(cur, pattern, token)
+    return out

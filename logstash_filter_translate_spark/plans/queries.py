@@ -114,7 +114,12 @@ def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
     import tempfile
 
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"lfts_{tag}_{suffix}")
+    # os.getpid() in the path: two concurrent bench/selfcheck processes over
+    # the same sf_dir must not rmtree each other's in-flight streaming sink
+    # and checkpoint (round-3 advice); growth stays bounded per boot.
+    path = os.path.join(
+        tempfile.gettempdir(), f"lfts_{tag}_{suffix}_{os.getpid()}"
+    )
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
     return path
@@ -1074,15 +1079,25 @@ WITH c AS (
          AS contact
   FROM documents
 )
+-- counts mirror the Spark side's chained audit: each rule is counted on
+-- the text with earlier rules already applied, so counts == substitutions
+-- even when matches overlap (round-3 advice)
+, r1 AS (
+  SELECT doc_id, contact,
+         regexp_replace(contact, '{email}', '<EMAIL>', 'g') AS after_email
+  FROM c
+),
+r2 AS (
+  SELECT doc_id, contact, after_email,
+         regexp_replace(after_email, '{phone}', '<PHONE>', 'g') AS after_phone
+  FROM r1
+)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(
-         contact, '{email}', '<EMAIL>', 'g'),
-         '{phone}', '<PHONE>', 'g'),
-         '{ip}', '<IP>', 'g') AS redacted,
+       regexp_replace(after_phone, '{ip}', '<IP>', 'g') AS redacted,
        CAST(len(regexp_extract_all(contact, '{email}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(contact, '{phone}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(contact, '{ip}')) AS BIGINT) AS n_ips
-FROM c
+       CAST(len(regexp_extract_all(after_email, '{phone}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(after_phone, '{ip}')) AS BIGINT) AS n_ips
+FROM r2
 """.format(email=_SQL_PII_EMAIL, phone=_SQL_PII_PHONE, ip=_SQL_PII_IP)
 
 
@@ -1324,7 +1339,8 @@ SQL_CORPUS_STATS = """
 SELECT lang,
        COUNT(*) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+       CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS sum_tokens,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang
@@ -1412,12 +1428,26 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # the index is a deterministic function of the (static) input dir —
-    # build once per sf_dir and reuse, like a real deployment would
+    # the index is a deterministic function of the input CONTENT — key the
+    # cache on a fingerprint of the embeddings parquet (path + mtime + size),
+    # not the path alone, so a regenerated dataset at the same path rebuilds
+    # instead of silently serving the stale corpus (round-3 advice)
     import hashlib
     import tempfile
 
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                stats.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        stats.append(f"{st.st_mtime_ns}:{st.st_size}")
+    suffix = hashlib.md5(
+        "|".join([sf_dir] + stats).encode()
+    ).hexdigest()[:12]
     index_path = os.path.join(
         tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
     )
