@@ -54,6 +54,10 @@ class TranslateConfig:
 
     # --- miss handling (translate.rb:162) ---
     fallback: Optional[str] = None
+    #: column standing in for @timestamp in fallback ``%{+FORMAT}`` time
+    #: references (Event#sprintf's Joda grammar); the input contract's
+    #: event-time column by default
+    ts_field: str = "warc_ts"
 
     # --- refresh (translate.rb:117,167) ---
     refresh_interval: int = 300

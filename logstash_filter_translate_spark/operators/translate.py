@@ -214,7 +214,11 @@ class Translate:
     def _fallback_expr(self, df: DataFrame) -> Optional[Column]:
         if self.config.fallback is None:
             return None
-        return compile_sprintf(self.config.fallback, columns=df.columns)
+        return compile_sprintf(
+            self.config.fallback,
+            columns=df.columns,
+            ts_col=self.config.ts_field,
+        )
 
     def _out_type(self) -> T.DataType:
         """Target column type: the dictionary's value type, widened to string
@@ -697,7 +701,11 @@ class Translate:
         # columns the fallback template references — carried through the
         # explode so the post-explode sprintf sees them
         fb_cols = (
-            [c for c in sprintf_fields(cfg.fallback) if c in df.columns]
+            [
+                c
+                for c in sprintf_fields(cfg.fallback, ts_col=cfg.ts_field)
+                if c in df.columns
+            ]
             if cfg.fallback is not None
             else []
         )

@@ -152,6 +152,35 @@ FROM events e LEFT JOIN dict d ON e.event_type = d.k
 """
 
 
+# O8 sprintf time refs: dated fallback — ``%{+YYYY.MM.dd}`` formats the
+# event-time column (Event#sprintf's Joda grammar; the reference uses it
+# routinely for dated index/fallback names). Compiles to date_format over
+# ts, pure codegen; the field splice and time ref compose in one template.
+def q_fallback_dated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback="miss-%{event_type}-%{+YYYY.MM.dd}",
+            ts_field="ts",
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("event_id", "event_type", "translation", "route")
+
+
+SQL_FALLBACK_DATED = f"""
+WITH {_values_cte('dict', EVENTS_DICT)}
+SELECT e.event_id, e.event_type,
+       COALESCE(d.v, 'miss-' || e.event_type || '-'
+                     || strftime(e.ts, '%Y.%m.%d')) AS translation,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM events e LEFT JOIN dict d ON e.event_type = d.k
+"""
+
+
 # O9 + aggregates: per-route/per-translation histogram
 def q_route_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -1886,6 +1915,7 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_events": q_exact_events,
+    "fallback_dated": q_fallback_dated,
     "route_histogram": q_route_histogram,
     "exact_docs_lang": q_exact_docs_lang,
     "override_gate": q_override_gate,
@@ -1936,6 +1966,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: Dict[str, str] = {
     "exact_events": SQL_EXACT_EVENTS,
+    "fallback_dated": SQL_FALLBACK_DATED,
     "route_histogram": SQL_ROUTE_HISTOGRAM,
     "exact_docs_lang": SQL_EXACT_DOCS_LANG,
     "override_gate": SQL_OVERRIDE_GATE,

@@ -156,6 +156,71 @@ def test_fallback_sprintf_field_absent_keeps_literal(spark):
     assert one(out) == ("%{not_a_column}", ROUTE_FALLBACK)
 
 
+# -- sprintf %{+FORMAT} time references (Event#sprintf Joda grammar) ----------
+def _ts_frame(spark, ts_name="warc_ts"):
+    import datetime
+
+    return spark.createDataFrame(
+        [("200", datetime.datetime(2021, 3, 5, 12, 34, 56))],
+        f"status string, {ts_name} timestamp",
+    )
+
+
+def test_fallback_sprintf_time_ref_formats_ts(spark):
+    out = translate(
+        _ts_frame(spark), source="status", target="translation",
+        dictionary={}, fallback="logs-%{+YYYY.MM.dd}",
+    )
+    assert one(out) == ("logs-2021.03.05", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_time_ref_composes_with_field_ref(spark):
+    out = translate(
+        _ts_frame(spark), source="status", target="translation",
+        dictionary={}, fallback="%{status}@%{+YYYY-MM-dd'T'HH:mm}",
+    )
+    assert one(out) == ("200@2021-03-05T12:34", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_epoch_seconds(spark):
+    out = translate(
+        _ts_frame(spark), source="status", target="translation",
+        dictionary={}, fallback="%{+%s}",
+    )
+    # 2021-03-05T12:34:56Z (session timezone is UTC)
+    assert one(out) == ("1614947696", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_time_ref_custom_ts_field(spark):
+    out = translate(
+        _ts_frame(spark, "ts"), source="status", target="translation",
+        dictionary={}, fallback="d-%{+YYYY.MM.dd}", ts_field="ts",
+    )
+    assert one(out) == ("d-2021.03.05", ROUTE_FALLBACK)
+
+
+def test_fallback_sprintf_time_ref_absent_ts_keeps_literal(spark):
+    df = spark.createDataFrame([("200",)], "status string")
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={}, fallback="d-%{+YYYY.MM.dd}",
+    )
+    assert one(out) == ("d-%{+YYYY.MM.dd}", ROUTE_FALLBACK)
+
+
+def test_joda_pattern_rewrite():
+    from logstash_filter_translate_spark.functions.templates import (
+        _joda_to_spark_pattern,
+    )
+
+    # Joda Y (year-of-era) must become Java y — Java's Y is week-based-year
+    # and silently shifts dates around New Year
+    assert _joda_to_spark_pattern("YYYY.MM.dd") == "yyyy.MM.dd"
+    assert _joda_to_spark_pattern("xxxx-'w'ww") == "YYYY-'w'ww"
+    # quoted literals pass through untouched, including letters inside
+    assert _joda_to_spark_pattern("'Year 'YYYY''''") == "'Year 'yyyy''''"
+
+
 # -- case 6: per-format value typing (spec :232-379) ---------------------------
 def test_yaml_values_keep_types(spark, fixtures_dir):
     df = spark.createDataFrame([("a",), ("d",)], "k string")
