@@ -186,6 +186,97 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return df.select(id_col).join(packed, id_col, "left")
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: Optional[int] = 1000,
+) -> DataFrame:
+    """SimHash near-dup pairs: prefix-band bucket join + popcount verify.
+    Returns (id_a, id_b, hamming) with id_a < id_b and Hamming distance
+    ≤ ``max_hamming``.
+
+    Candidate generation is the pigeonhole banding standard for Hamming
+    space: split the ``bits``-bit signature into ``bands`` equal chunks;
+    any pair within Hamming distance < ``bands`` agrees EXACTLY on at
+    least one chunk, so the equal-chunk equi-join finds every such pair —
+    with the defaults (4 bands, ≤3 flipped bits) recall is exact, no
+    all-pairs scan anywhere. Verification is one codegen ``bit_count(xor)``
+    per candidate.
+
+    Plan shape mirrors lsh_candidate_pairs: signatures are map-side partial
+    aggregates (see ``simhash``); the only shuffle carries (band_idx,
+    band_val) pairs; ``max_bucket`` caps pathological buckets (boilerplate
+    pages collapse to one signature at web scale — the skew guard).
+    Tokenless docs (NULL signature) are excluded.
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bits={bits} not divisible by bands={bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = simhash(df, text_col, id_col, bits).filter(
+        F.col("simhash").isNotNull()
+    )
+    # referenced three times (banded + both pair sides) — materialize once;
+    # localCheckpoint (not persist) so blocks release with the frame
+    sigs = sigs.localCheckpoint(eager=False)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(id_col, F.explode(chunks).alias("b")).select(
+        id_col, "b.band_idx", "b.band_val"
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_idx", "band_val")
+        banded = (
+            banded.withColumn("__bw", F.count("*").over(w))
+            .filter(F.col("__bw") <= max_bucket)
+            .drop("__bw")
+        )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias(
+                "hamming"
+            ),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (bucket-prefiltered)
 # ---------------------------------------------------------------------------

@@ -653,16 +653,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_ctes(bits: int = SIMHASH_BITS) -> str:
+    """Shared CTE chain ending in sims(doc_id, simhash) — reused verbatim
+    by the simhash and simhash_pairs oracles. NULL-signature (tokenless)
+    docs are absent from sims; the simhash oracle left-joins them back."""
     bit_sums = ",\n         ".join(
         f"sum(CASE WHEN (h.h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
     recombine = " + ".join(
-        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
     )
-    return f"""
-WITH {_SQL_TOK},
+    return f"""{_SQL_TOK},
 h AS (
   SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h FROM tok
 ),
@@ -670,12 +672,73 @@ bits AS (
   SELECT doc_id,
          {bit_sums}
   FROM h GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+)"""
+
+
+SQL_SIMHASH = f"""
+WITH {_sql_simhash_ctes()}
+SELECT d.doc_id, s.simhash
+FROM documents d LEFT JOIN sims s ON s.doc_id = d.doc_id
+"""
+
+#: pairing runs on a WIDER signature than the per-doc profile query: 16
+#: bits collapse this template-generated corpus into a few clusters
+#: (~31% of all pairs land within Hamming 3 — the bucket join would be
+#: near-quadratic); 32 bits make Hamming ≤ 3 mean real similarity
+SIMHASH_PAIR_BITS = 32
+SIMHASH_PAIR_BANDS = 4
+SIMHASH_PAIR_MAX_HAMMING = 3
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: pigeonhole prefix-band bucket join (any
+    pair with < bands flipped bits agrees exactly on one band) + codegen
+    popcount verify — the Hamming-space twin of lsh_pairs."""
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        bits=SIMHASH_PAIR_BITS,
+        bands=SIMHASH_PAIR_BANDS,
+        max_hamming=SIMHASH_PAIR_MAX_HAMMING,
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_simhash_pairs() -> str:
+    width = SIMHASH_PAIR_BITS // SIMHASH_PAIR_BANDS
+    mask = (1 << width) - 1
+    band_rows = ", ".join(f"({b})" for b in range(SIMHASH_PAIR_BANDS))
+    return f"""
+WITH {_sql_simhash_ctes(SIMHASH_PAIR_BITS)},
+banded AS (
+  SELECT s.doc_id, b.band_idx,
+         (s.simhash >> (b.band_idx * {width})) & {mask} AS band_val
+  FROM sims s, (VALUES {band_rows}) b(band_idx)
+  WHERE s.simhash IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l
+  JOIN banded r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+              AND l.doc_id < r.doc_id
 )
-SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sims sa ON sa.doc_id = c.id_a
+JOIN sims sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_PAIR_MAX_HAMMING}
 """
 
 
-SQL_SIMHASH = _sql_simhash()
+SQL_SIMHASH_PAIRS = _sql_simhash_pairs()
 
 
 def q_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,6 +1992,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "jaccard_adjacent": q_jaccard_adjacent,
     "tokens_quality": q_tokens_quality,
     "langid": q_langid,
@@ -1980,6 +2044,7 @@ ORACLES: Dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lsh_pairs": SQL_LSH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
     "tokens_quality": SQL_TOKENS_QUALITY,
     "langid": SQL_LANGID,

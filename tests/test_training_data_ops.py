@@ -65,6 +65,41 @@ def test_simhash_identical_docs_equal_hamming_zero(spark, docs):
     assert out[0] != out[3]
 
 
+def test_simhash_pairs_banding_finds_all_close_pairs(spark, docs):
+    from logstash_filter_translate_spark.operators.dedup import simhash_pairs
+
+    bits, bands, max_h = 32, 4, 3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=bits, bands=bands, max_hamming=max_h
+        ).collect()
+    }
+    # exact recall guarantee (pigeonhole): banding finds EVERY pair within
+    # Hamming < bands, so compare against the brute-force ground truth
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, "text", "doc_id", bits).collect()
+        if r["simhash"] is not None
+    }
+    truth = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    assert got == truth
+    assert (0, 1) in got and got[(0, 1)] == 0  # identical docs
+    assert not any(5 in p for p in got)  # tokenless doc never pairs
+
+
+def test_simhash_pairs_rejects_indivisible_bands():
+    from logstash_filter_translate_spark.operators.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(None, "text", "doc_id", bits=16, bands=5)
+
+
 def test_ngram_jaccard_counts(spark, docs):
     pairs = spark.createDataFrame(
         [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
