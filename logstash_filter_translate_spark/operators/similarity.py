@@ -118,17 +118,36 @@ def _query_cells(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """(query_id, __qvec, cell): each query joined to its nearest-centroid
-    cell — the broadcast probe side of every IVF plane."""
-    q_cells = ivf_assign(
-        queries.select(F.col(query_id_col).alias(id_col), vec_col),
-        centroids,
-        id_col,
-        vec_col,
-    ).select(F.col(id_col).alias(query_id_col), "cell")
-    return queries.join(q_cells, query_id_col).select(
-        query_id_col, F.col(vec_col).alias("__qvec"), "cell"
+    """(query_id, __qvec, cell): each query joined to its ``nprobe``
+    nearest-centroid cells — the broadcast probe side of every IVF plane.
+    One row per (query, probed cell); since a corpus vector lives in
+    exactly one cell, the downstream co-cell join needs no dedup.
+
+    nprobe > 1 is the standard IVF recall lever (nearest-cell-only probing
+    caps recall when a true neighbor sits across a cell boundary). The
+    per-query cell ranking is a window over the QUERY side only — a tiny
+    broadcast frame, so the row_number shuffle is negligible; the corpus
+    side's plan is unchanged. Tie-break: score DESC, centroid id ASC
+    (identical to ivf_assign's max_by struct for rank 1, so nprobe=1
+    reproduces the original plane exactly)."""
+    c = centroids.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    scored = queries.join(F.broadcast(c)).select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.col("__cid"),
+        cosine(F.col(vec_col), F.col("__cvec")).alias("__cs"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__cs"), F.asc("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, "__qvec", F.col("__cid").alias("cell"))
     )
 
 
@@ -164,13 +183,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) approximate top-k: score only within the query's cell.
-    Cells come from ivf_assign inline — the one-shot plane; at scale build
-    the index once with write_ivf_index and query via ivf_topk_indexed."""
+    """IVF approximate top-k: score only within the query's ``nprobe``
+    nearest cells. Cells come from ivf_assign inline — the one-shot plane;
+    at scale build the index once with write_ivf_index and query via
+    ivf_topk_indexed."""
     corpus_cells = ivf_assign(corpus, centroids, id_col, vec_col)
     cb = corpus.join(corpus_cells, id_col)
-    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col)
+    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col, nprobe)
     return _cell_scored_topk(cb, qb, id_col, vec_col, query_id_col, k)
 
 
@@ -201,14 +222,15 @@ def ivf_topk_indexed(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF(nprobe=1) query plane over a materialized index: the corpus
-    arrives already partitioned by cell, so the co-cell join prunes the
-    scan to the probed cells — dynamic partition pruning reuses the
-    broadcast query side as the pruning subquery (no driver-side collect
-    of cell ids needed)."""
+    """IVF query plane over a materialized index: the corpus arrives
+    already partitioned by cell, so the co-cell join prunes the scan to
+    the ``nprobe`` probed cells per query — dynamic partition pruning
+    reuses the broadcast query side as the pruning subquery (no
+    driver-side collect of cell ids needed)."""
     corpus = spark.read.parquet(index_path)
-    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col)
+    qb = _query_cells(queries, centroids, id_col, vec_col, query_id_col, nprobe)
     return _cell_scored_topk(corpus, qb, id_col, vec_col, query_id_col, k)
 
 

@@ -1548,7 +1548,10 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
 
 
-SQL_SIMILARITY_IVF = f"""
+def _sql_similarity_ivf(nprobe: int = 1) -> str:
+    """Corpus cells are always the single nearest centroid (a vector lives
+    in one cell); the QUERY side probes its ``nprobe`` nearest cells."""
+    return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
   WHERE vec_id % {IVF_CENTROID_STEP} = 0
@@ -1560,16 +1563,18 @@ scored_cells AS (
             * sqrt(list_dot_product(c.cvec, c.cvec))) AS cs
   FROM embeddings e, cent c
 ),
+ranked_cells AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+  FROM scored_cells
+),
 cells AS (
-  SELECT vec_id, cid AS cell FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
-    FROM scored_cells
-  ) WHERE rn = 1
+  SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1
 ),
 q AS (
-  SELECT e.vec_id AS query_id, e.embedding AS qe, cl.cell
-  FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+  SELECT e.vec_id AS query_id, e.embedding AS qe, rc.cid AS cell
+  FROM embeddings e
+  JOIN ranked_cells rc ON rc.vec_id = e.vec_id AND rc.rn <= {nprobe}
   WHERE e.vec_id < 3
 ),
 scored AS (
@@ -1589,6 +1594,24 @@ ranked AS (
 )
 SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5
 """
+
+
+SQL_SIMILARITY_IVF = _sql_similarity_ivf(1)
+SQL_SIMILARITY_IVF_PROBE2 = _sql_similarity_ivf(2)
+
+
+def q_similarity_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the standard recall lever: each query searches
+    its two nearest cells (ranked on the tiny broadcast query side only;
+    the corpus plan is identical to nprobe=1)."""
+    from ..operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=2)
 
 
 COSINE_DEDUP_THRESHOLD = 0.4
@@ -2008,6 +2031,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts": q_token_counts,
     "rolling_fingerprint": q_rolling_fingerprint,
     "similarity_ivf": q_similarity_ivf,
+    "similarity_ivf_probe2": q_similarity_ivf_probe2,
     "similarity_ivf_indexed": q_similarity_ivf_indexed,
     "corpus_filter": q_corpus_filter,
     "media_features": q_media_features,
@@ -2060,6 +2084,7 @@ ORACLES: Dict[str, str] = {
     "token_counts": SQL_TOKEN_COUNTS,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "similarity_ivf": SQL_SIMILARITY_IVF,
+    "similarity_ivf_probe2": SQL_SIMILARITY_IVF_PROBE2,
     "similarity_ivf_indexed": SQL_SIMILARITY_IVF,
     "corpus_filter": SQL_CORPUS_FILTER,
     "media_features": SQL_MEDIA_FEATURES,

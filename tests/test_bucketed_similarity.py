@@ -110,15 +110,25 @@ def test_ann_recall_vs_brute_force(spark, testdata_dir):
 
     multi = topk_sets(lsh_topk_multiband(emb, queries, LSH_BANDS, k=5))
 
+    # IVF's recall lever: probing more cells can only add candidates, so
+    # recall must be monotonically non-decreasing in nprobe — and on this
+    # near-random corpus (neighbors routinely across cell boundaries)
+    # strictly better by nprobe=4
+    ivf2 = topk_sets(ivf_topk(emb, queries, cents, k=5, nprobe=2))
+    ivf4 = topk_sets(ivf_topk(emb, queries, cents, k=5, nprobe=4))
+
     r_lsh, r_ivf, r_multi = recall(lsh), recall(ivf), recall(multi)
+    r_ivf2, r_ivf4 = recall(ivf2), recall(ivf4)
     # the testdata embeddings are near-random (no planted clusters) — the
     # WORST case for LSH: single-band/nprobe=1 recall sits near 0.25-0.30
     # (chance for 8 buckets is ~0.125). Floors guard against a broken
-    # bucketer; the multiband assertion guards the recall LEVER itself.
+    # bucketer; the multiband/nprobe assertions guard the recall LEVERS.
     assert r_lsh >= 0.15, r_lsh
     assert r_ivf >= 0.15, r_ivf
     assert r_multi > r_lsh, (r_multi, r_lsh)
     assert r_multi >= 0.5, r_multi
+    assert r_ivf <= r_ivf2 <= r_ivf4, (r_ivf, r_ivf2, r_ivf4)
+    assert r_ivf4 > r_ivf, (r_ivf4, r_ivf)
 
 
 def test_ivf_index_write_read_equals_inline_and_prunes(spark, tmp_path):
