@@ -256,24 +256,39 @@ def write_sinks(
     out_dir: str,
     mode: str = "overwrite",
     single_pass: bool = True,
+    io: Optional["TableIO"] = None,
+    spec: Optional["PartitionSpec"] = None,
 ) -> None:
     """Fan-out sinks. single_pass: one partitioned write — each
-    (route, lang) pair lands in its own directory subtree, one scan of the
-    input. Otherwise: one filtered write per route (re-scans unless the
-    caller checkpointed). Parquet stands in for Iceberg here; the layout
-    (partition columns route/lang) is exactly an Iceberg identity-partition
-    spec, and writes are task-idempotent (atomic rename committer)."""
+    (route, lang) pair lands in its own partition, one scan of the input.
+    Otherwise: one filtered write per route (re-scans unless the caller
+    checkpointed).
+
+    The partitioning is ROUTED_SINK_SPEC — a PartitionSpec OBJECT shared
+    by both table formats (S7 seam, plans/io.py): parquet renders it as
+    hive-style route=/lang= subtrees with an atomic-rename committer;
+    ``io=TableIO(spark, "iceberg")`` renders the identical spec as the
+    Iceberg table's identity partitioning with snapshot-isolated commits.
+    """
+    from .io import ROUTED_SINK_SPEC, PartitionSpec, TableIO
+
+    io = io or TableIO(enriched.sparkSession)
+    spec = spec or ROUTED_SINK_SPEC
     cols = [c for c in enriched.columns if not c.startswith("__")]
     slim = enriched.select(*cols).drop("html")  # sinks keep parsed fields only
     if single_pass:
-        slim.write.mode(mode).partitionBy("route", "lang").parquet(
-            os.path.join(out_dir, "routed")
-        )
+        io.write(slim, io.loc(out_dir, "routed"), mode=mode, spec=spec)
     else:
+        sub_spec = PartitionSpec(tuple(f for f in spec.fields if f != "route"))
         for route in ["matched", "fallback", "unmatched", "failed", "skipped"]:
-            slim.filter(F.col("route") == route).write.mode(mode).partitionBy(
-                "lang"
-            ).parquet(os.path.join(out_dir, f"route={route}"))
+            # '=' is directory convention, not a valid table-identifier char
+            name = f"route={route}" if io.fmt == "parquet" else f"route_{route}"
+            io.write(
+                slim.filter(F.col("route") == route),
+                io.loc(out_dir, name),
+                mode=mode,
+                spec=sub_spec,
+            )
 
 
 def run_pipeline(
@@ -283,29 +298,38 @@ def run_pipeline(
     cfg: PipelineConfig = PipelineConfig(),
     checkpoint: bool = False,
     write_outputs: bool = True,
+    table_format: str = "parquet",
 ) -> Dict[str, int]:
     """End-to-end run; returns the observed metrics dict.
 
-    checkpoint=True stages the enriched frame to parquet first (resumable:
-    rerun skips parse/enrich if the stage dir exists and is complete —
-    per-partition lineage lives in the staged files' spark_partition_id).
+    checkpoint=True stages the enriched frame first (resumable: rerun skips
+    parse/enrich if the stage exists and is complete — per-partition
+    lineage lives in the staged files' spark_partition_id).
+
+    table_format: every sink/stage write and read-back goes through the S7
+    TableIO seam — the identical pipeline runs with ``"iceberg"`` when the
+    runtime ships the jars (out_dir is then a catalog namespace).
     """
+    from .io import TableIO
+
+    io = TableIO(spark, table_format)
     parsed = parse_stage(pages, cfg)
     enriched = enrich_stage(parsed, spark, cfg)
     enriched = enriched.withColumn("__part_id", F.spark_partition_id())
 
     if checkpoint:
-        stage_dir = os.path.join(out_dir, "_stage_enriched")
-        enriched.write.mode("overwrite").parquet(stage_dir)
-        enriched = spark.read.parquet(stage_dir)
+        stage_loc = io.loc(out_dir, "_stage_enriched" if io.fmt == "parquet"
+                           else "stage_enriched")
+        io.write(enriched, stage_loc)
+        enriched = io.read(stage_loc)
 
     enriched, obs = observed(enriched)
 
     if write_outputs:
-        write_sinks(enriched, out_dir)
-        aggs = aggregates(spark.read.parquet(os.path.join(out_dir, "routed")))
+        write_sinks(enriched, out_dir, io=io)
+        aggs = aggregates(io.read(io.loc(out_dir, "routed")))
         for name, adf in aggs.items():
-            adf.write.mode("overwrite").parquet(os.path.join(out_dir, f"agg_{name}"))
+            io.write(adf, io.loc(out_dir, f"agg_{name}"))
     else:
         # metrics-only run (benchmark): noop sink drives the full scan
         enriched.write.format("noop").mode("overwrite").save()

@@ -95,12 +95,25 @@ def _values_cte(name: str, pairs) -> str:
     return f"{name}(k, v) AS (VALUES {rows})"
 
 
+#: S7 seam: table format for every query scan — "parquet" (sandbox
+#: default) or "iceberg" (when the runtime ships the jars; sf_dir is then
+#: a catalog namespace like ``local.sf001`` and tables resolve to
+#: ``local.sf001.events``). One env switch, zero per-query code.
+TABLE_FORMAT = os.environ.get("LFTS_TABLE_FORMAT", "parquet")
+
+
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Testdata tables arrive as single parquet files (one scan split);
     repartition to the session parallelism so per-row compute stages use all
     cores — at real scale the Iceberg/parquet layout provides the splits and
     this becomes a no-op choice."""
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    from .io import ICEBERG, TableIO
+
+    io = TableIO(spark, TABLE_FORMAT)
+    location = (
+        f"{sf_dir}.{table}" if io.fmt == ICEBERG else f"{sf_dir}/{table}.parquet"
+    )
+    df = io.read(location)
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 

@@ -36,6 +36,11 @@ def main() -> None:
                     help="stage the enriched frame for resumability")
     ap.add_argument("--arrow-extract", action="store_true",
                     help="use the pandas-UDF extraction plane")
+    ap.add_argument("--table-format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="sink/stage table format (iceberg needs the "
+                         "runtime jars + a configured catalog; --input and "
+                         "--output are then table identifiers)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -48,10 +53,12 @@ def main() -> None:
 
     spark = build_session(app_name="translate-enrich-route", master=args.master)
 
+    from logstash_filter_translate_spark.plans.io import TableIO
+
     if args.generate:
         pages = generate_pages(spark, args.generate)
     elif args.input:
-        pages = spark.read.parquet(args.input)
+        pages = TableIO(spark, args.table_format).read(args.input)
     else:
         ap.error("one of --input / --generate is required")
 
@@ -60,7 +67,8 @@ def main() -> None:
         cfg.status_dict = load_dictionary_file(args.status_dict)
 
     metrics = P.run_pipeline(
-        spark, pages, args.output, cfg=cfg, checkpoint=args.checkpoint
+        spark, pages, args.output, cfg=cfg, checkpoint=args.checkpoint,
+        table_format=args.table_format,
     )
     print(json.dumps({"metrics": metrics, "output": args.output}))
     if metrics.get("extract_mismatches", 0):
