@@ -37,6 +37,7 @@ def rp(p):
 
 HEADLINE = [
     "exact_events",
+    "fallback_dated",
     "route_histogram",
     "override_gate",
     "regex_firstmatch",
@@ -49,6 +50,7 @@ HEADLINE = [
     "minhash_signatures",
     "lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "jaccard_adjacent",
     "tokens_quality",
     "langid",
@@ -56,6 +58,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_lsh",
     "similarity_ivf",
+    "similarity_ivf_probe2",
     "similarity_ivf_indexed",
     "parse_extract",
     "parse_extract_arrow",
