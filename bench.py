@@ -155,7 +155,7 @@ ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4")
 
 def run_scaling() -> dict:
     """N→4N evidence, round-4 protocol (round-3 judge finding #1 — the r3
-    miss was the evidence protocol, not the engine): 5 file reps + 3 gen
+    miss was the evidence protocol, not the engine): 7 file reps + 3 gen
     reps × {N, 4N}, one JVM per measurement, ≥60 s runs (40M rows), page
     cache warmed before every file measurement, and the criterion
     statistic is the MEDIAN OF PAIRED PER-REP EFFICIENCIES — rep i's
@@ -179,7 +179,7 @@ def run_scaling() -> dict:
         write_pages_corpus(spark, pages_path, PAGES_ROWS, PAGES_PARTS)
         spark.stop()
 
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "7"))
     import subprocess
 
     cmd = [
@@ -200,7 +200,7 @@ def run_scaling() -> dict:
     try:
         skew_cmd = [
             sys.executable, os.path.join(REPO, "tools", "scalebench.py"),
-            "skew", "16000000", str(SCALE_4N), "3",
+            "skew", "32000000", str(SCALE_4N), "3",
         ]
         skew_out = subprocess.run(
             skew_cmd, stdout=subprocess.PIPE, text=True, timeout=3600,
@@ -283,14 +283,19 @@ def write_baseline_md(scaling: dict) -> None:
             "then ONE timed run of ≥60 s (40M rows — long enough that host\n"
             "noise bursts amortize within the run); the file variant's page\n"
             "cache is explicitly re-warmed before every measurement; each\n"
-            "rep runs local[N] and local[4N] back-to-back (adjacent in\n"
-            "time, shared noise window) and contributes one PAIRED\n"
-            "efficiency; the criterion statistic is the MEDIAN OF PAIRS —\n"
-            "never a ratio of cross-rep medians, which mixed a\n"
-            "quiet-window numerator with a noisy-window denominator\n"
-            f"(the r3 miss). {scaling.get('reps', 5)} file reps (primary),\n"
+            "rep runs local[4N] then local[N] back-to-back (adjacent in\n"
+            "time, shared noise window — the short 4N run first, halving\n"
+            "the intra-pair gap) and contributes one PAIRED efficiency;\n"
+            "the criterion statistic is the MEDIAN OF PAIRS — never a\n"
+            "ratio of cross-rep medians, which mixed a quiet-window\n"
+            "numerator with a noisy-window denominator\n"
+            f"(the r3 miss). {scaling.get('reps', 7)} file reps (primary),\n"
             f"{len(scaling.get('gen_pair_efficiencies', []))} gen reps "
-            "(engine-isolated secondary).\n\n"
+            "(engine-isolated secondary). Every measurement also records\n"
+            "host telemetry (hypervisor STEAL%, host busy%, and the JVM's\n"
+            "achieved utilization of its thread allocation) in the sweep\n"
+            "artifact's `host` map — a low pair with high steal / low\n"
+            "jvm_util is quantified host theft, not a plan property.\n\n"
             "| cluster size | file input (PRIMARY) median pages/sec | "
             "generated input median pages/sec |\n"
             "|---|---|---|\n"
@@ -362,10 +367,11 @@ def write_baseline_md(scaling: dict) -> None:
                 f"Zipfian probe side ({skew['rows']:,} rows, "
                 f"{skew['hot_pct']}% on ONE hot key) shuffle-joined to a "
                 "1001-key dictionary with broadcast AND AQE skew-join "
-                "disabled, at local[%d] — isolating the explicit salting "
-                "mechanism (`plans/pipeline.py::salted_broadcast_free_join`, "
-                "build side replicated ×16 salts so the hot key spreads "
-                "over 16 reducers instead of one):\n\n"
+                f"disabled, at local[{skew['cpus']}] — isolating the "
+                "explicit salting mechanism "
+                "(`plans/pipeline.py::salted_broadcast_free_join`, build "
+                "side replicated ×16 salts so the hot key spreads over 16 "
+                "reducers instead of one):\n\n"
                 "| variant | per-rep sec |\n|---|---|\n"
                 f"| plain shuffle join (hot key → one reducer) | "
                 f"{skew['plain_sec']} |\n"
@@ -375,7 +381,6 @@ def write_baseline_md(scaling: dict) -> None:
                 "session default everywhere else — the planner splits the "
                 "skewed partitions itself; this rep proves the explicit, "
                 "planner-independent mechanism the north_rule asks for.)\n"
-                % skew["cpus"]
             )
         for tag, label in (
             (ROUND_TAG, "current round"), ("r3", "round 3"),
