@@ -263,6 +263,70 @@ def sweep(
     return summary
 
 
+def scan_run(cpus: int, rows: int, path: str) -> dict:
+    """Scan-ONLY measurement: parquet read + html/text string
+    materialization, no parse/enrich compute — isolates the input path's
+    own scaling so the sweep's file-vs-gen gap is decomposable. First
+    execution is timed (a repeat execution of the same aggregate returned
+    in milliseconds — JVM-side result reuse — so warmup uses a different
+    column set)."""
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    from logstash_filter_translate_spark.session import build_session
+
+    warm_page_cache(path)
+    spark = build_session(
+        app_name=f"scan-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={
+            "spark.driver.extraJavaOptions": gc_opts(cpus),
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+        },
+    )
+    df = spark.read.parquet(path)
+    df.selectExpr("sum(length(url))").collect()  # JVM/codegen warm
+    with HostMeter(spark, cpus) as hm:
+        t0 = time.time()
+        df.selectExpr(
+            "sum(length(html) + 0)", "avg(length(text))"
+        ).collect()
+        elapsed = time.time() - t0
+    rows_read = df.count()
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "sec": round(elapsed, 2),
+        "rows_per_sec": round(rows_read / elapsed, 1),
+        **hm.metrics,
+    }
+
+
+def scan_sweep(rows: int, path: str, reps: int, n: int, n4: int) -> dict:
+    """Paired scan-only decomposition: the criterion's denominator side.
+    The blended file-variant efficiency = scan (bandwidth-bound on ONE
+    box) ⊕ compute (scales ~1.0, measured by the gen variant); this
+    records the scan term explicitly."""
+    pairs = []
+    tp: dict = {f"scan{n}": [], f"scan{n4}": []}
+    for _ in range(reps):
+        r4n = _subprocess_run(["run_scan", str(n4), str(rows), path],
+                              timeout=1200)
+        rn = _subprocess_run(["run_scan", str(n), str(rows), path],
+                             timeout=1200)
+        tp[f"scan{n4}"].append(r4n["rows_per_sec"])
+        tp[f"scan{n}"].append(rn["rows_per_sec"])
+        pairs.append(round(r4n["rows_per_sec"] / rn["rows_per_sec"] / 4, 3))
+        print(f"scan pair: local[{n}] {rn['rows_per_sec']}/s "
+              f"local[{n4}] {r4n['rows_per_sec']}/s eff {pairs[-1]} "
+              f"(util {rn.get('jvm_util')}/{r4n.get('jvm_util')})",
+              file=sys.stderr, flush=True)
+    return {
+        "rows": rows, "n": n, "n4": n4, "throughput": tp,
+        "pair_efficiencies": pairs,
+        "median_efficiency": round(statistics.median(pairs), 3),
+    }
+
+
 # ---------------------------------------------------------------------------
 # skewed-input variant: salted vs plain shuffle join under a zipfian hot key
 # ---------------------------------------------------------------------------
@@ -380,6 +444,18 @@ def main():
     elif cmd == "run_skew":
         cpus, rows, variant = int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
         print(json.dumps(skew_run(cpus, rows, variant)))
+    elif cmd == "run_scan":
+        cpus, rows = int(sys.argv[2]), int(sys.argv[3])
+        print(json.dumps(scan_run(cpus, rows, sys.argv[4])))
+    elif cmd == "scan":
+        rows = int(sys.argv[2]) if len(sys.argv) > 2 else 40_000_000
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+        n = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+        n4 = int(sys.argv[5]) if len(sys.argv) > 5 else 4 * n
+        path = os.environ.get(
+            "SPARK_GRAFT_PAGES_CACHE", f"/tmp/lfts_pages_{rows}"
+        )
+        print(json.dumps(scan_sweep(rows, path, reps, n, n4)))
     elif cmd == "skew":
         rows = int(sys.argv[2]) if len(sys.argv) > 2 else 8_000_000
         cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
