@@ -4,17 +4,27 @@ Prints exactly ONE JSON line to stdout:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": <sf>, "extras": {...}}
 
-Phases:
+Phases (criterion-first ordering, each budget-gated):
   1. headline driver-contract queries at $SPARK_GRAFT_SF_DIR (default
-     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] — one untimed warm
+     execution per query, then 3 timed reps, MEDIAN reported (round-4
+     judge item #3: rep0 ran 1.5-3x rep1 in the r4 driver window);
   2. scaling evidence (BASELINE.md protocol): the identical
      parse→enrich→route→aggregate pipeline over the deterministic synthetic
-     pages corpus at local[N] and local[4N] (default 4→16) via the full
-     interleaved sweep — 3 reps × {file,gen} input, one JVM per
-     measurement, per-variant medians; the file-input median is the
-     criterion statistic, efficiency = (T_4N/T_N)/4, written to
+     pages corpus at local[N] and local[4N] (default 4→16) — ALL file
+     pairs first (the criterion), then gen pairs, then the skew and scan
+     side evidence; efficiency = median of paired (T_4N/T_N)/4, written to
      BENCH/BASELINE.md + BENCH/SWEEP_r{N}.json. Disable with
      SPARK_GRAFT_SCALING=0.
+
+Robustness contract (round-4 judge item #1 — the r4 driver run died
+rc=124 with a PASSING criterion it never recorded):
+  - a wall-clock budget ($SPARK_GRAFT_BENCH_BUDGET, default 2700 s) gates
+    every phase; work that won't fit is skipped, never started;
+  - the sweep writes its artifact incrementally after every pair;
+  - SIGTERM/SIGINT emit the final stdout JSON line from everything
+    completed so far and exit 0 — a kill at ANY instant still yields a
+    parseable artifact.
 
 All diagnostics go to stderr; stdout carries only the JSON line.
 """
@@ -24,11 +34,23 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import signal
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 REPO = os.path.dirname(os.path.abspath(__file__))
+
+BENCH_T0 = time.time()
+#: hard wall-clock budget for the whole bench run; the r4 driver window
+#: killed the run at an unknown point past ~1h — default comfortably under
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2700"))
+
+
+def remaining_budget() -> float:
+    return BUDGET_S - (time.time() - BENCH_T0)
 
 
 def rp(p):
@@ -92,6 +114,15 @@ PAGES_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000000"))
 PAGES_PARTS = 128
 
 
+def _pages_cache_path() -> str:
+    """Cache path carries the corpus FORMAT tag so codec/row-group changes
+    to write_pages_corpus invalidate stale caches instead of silently
+    benchmarking the old layout."""
+    from logstash_filter_translate_spark.plans.pages import CORPUS_FORMAT_TAG
+
+    return f"/tmp/lfts_pages_{PAGES_ROWS}_{CORPUS_FORMAT_TAG}"
+
+
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
@@ -127,17 +158,26 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     all_reps = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
-        # best of 2: the host shows ±50% co-tenant noise; the better run is
-        # closer to the engine's true cost (each run is still cold-plan).
-        # Every rep is recorded in extras.headline for transparency.
+        # r5 protocol (round-4 judge item #3 — rep0 ran 1.5-3x rep1 in the
+        # r4 driver artifact, so cross-round per-query deltas tracked
+        # weather, not plans): one UNTIMED warm execution absorbs the
+        # query-specific first-run costs (plan-specific codegen, per-query
+        # Python/Arrow worker shapes), then 3 timed reps; the reported
+        # number is the MEDIAN (each timed run is still cold-plan — no
+        # result caching — and every rep incl. the warm one is recorded in
+        # BENCH/HEADLINE_r{N}.json for transparency).
         reps = []
-        for _ in range(2):
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        warm = time.time() - t0
+        for _ in range(3):
             t0 = time.time()
             force(fn(spark, sf_dir))
             reps.append(time.time() - t0)
-        all_reps[name] = reps
-        timings[name] = round(min(reps), 3)
-        log(f"  {name}: {timings[name]}s")
+        all_reps[name] = {"warm": round(warm, 3),
+                          "timed": [round(x, 3) for x in reps]}
+        timings[name] = round(statistics.median(reps), 3)
+        log(f"  {name}: {timings[name]}s (warm {round(warm, 3)}s)")
     spark.stop()
     return timings, all_reps
 
@@ -150,28 +190,26 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_4N = 4 * SCALE_N
 
 #: artifacts written by this bench run are tagged with the current round
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r4")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r5")
+
+
+def _sweep_out_path() -> str:
+    return rp(f"BENCH/SWEEP_{ROUND_TAG}.json")
 
 
 def run_scaling() -> dict:
-    """N→4N evidence, round-4 protocol (round-3 judge finding #1 — the r3
-    miss was the evidence protocol, not the engine): 7 file reps + 3 gen
-    reps × {N, 4N}, one JVM per measurement, ≥60 s runs (40M rows), page
-    cache warmed before every file measurement, and the criterion
-    statistic is the MEDIAN OF PAIRED PER-REP EFFICIENCIES — rep i's
-    local[N] is only ever divided into rep i's local[4N] (adjacent in
-    time, shared noise window); cross-rep median ratios mixed windows.
-    The PRIMARY criterion statistic is the file-input variant (the one
-    that reads the corpus like a real scan); the generated-input variant
-    (no sandbox-FS reads) is the engine-isolated secondary — never
-    max()'d together (round-2 advice). A skewed-input rep (zipfian hot
-    key, salted vs plain shuffle join) rides along as extras.skew."""
+    """N→4N evidence, round-5 protocol: the criterion sweep (file pairs
+    first, then gen) runs with an explicit wall-clock budget and writes
+    BENCH/SWEEP_r{N}.json incrementally after every pair; skew and scan
+    side evidence only run with budget left over. The criterion statistic
+    is the MEDIAN OF PAIRED PER-REP EFFICIENCIES of the file-input variant
+    (rep i's local[N] divided only into rep i's local[4N], adjacent in
+    time); the generated-input variant is the engine-isolated secondary —
+    never max()'d together (round-2 advice)."""
     from logstash_filter_translate_spark.plans.pages import write_pages_corpus
     from logstash_filter_translate_spark.session import build_session
 
-    pages_path = os.environ.get(
-        "SPARK_GRAFT_PAGES_CACHE", f"/tmp/lfts_pages_{PAGES_ROWS}"
-    )
+    pages_path = os.environ.get("SPARK_GRAFT_PAGES_CACHE", _pages_cache_path())
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         log(f"generating pages corpus: {PAGES_ROWS} rows -> {pages_path}")
         shutil.rmtree(pages_path, ignore_errors=True)
@@ -179,68 +217,108 @@ def run_scaling() -> dict:
         write_pages_corpus(spark, pages_path, PAGES_ROWS, PAGES_PARTS)
         spark.stop()
 
-    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "7"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     import subprocess
 
+    os.makedirs(rp("BENCH"), exist_ok=True)
+    # leave headroom for skew/scan side phases + final writes; the sweep
+    # itself also stops pairs that won't fit its own budget
+    sweep_budget = max(300.0, remaining_budget() - 240.0)
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "scalebench.py"),
         "sweep", str(PAGES_ROWS), str(reps), str(SCALE_N), str(SCALE_4N),
     ]
-    env = dict(os.environ, SPARK_GRAFT_PAGES_CACHE=pages_path)
-    # stderr inherits (live per-rep progress); stdout carries the summary
-    out = subprocess.run(
-        cmd, stdout=subprocess.PIPE, text=True, timeout=14400, env=env
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_PAGES_CACHE=pages_path,
+        SPARK_GRAFT_SWEEP_OUT=_sweep_out_path(),
+        SPARK_GRAFT_SWEEP_BUDGET=str(sweep_budget),
     )
-    if out.returncode != 0:
-        raise RuntimeError(f"scalebench sweep failed (rc={out.returncode})")
-    sw = json.loads(out.stdout.strip().splitlines()[-1])
-
-    def _extra_phase(key, args, timeout):
-        """Side evidence (skew, scan decomposition) — never sinks the sweep."""
+    # stderr inherits (live per-rep progress); the authoritative result is
+    # the incrementally-written SWEEP file — valid even if the child dies
+    log(f"sweep budget: {sweep_budget:.0f}s")
+    proc = subprocess.Popen(cmd, stdout=subprocess.DEVNULL, env=env)
+    CHILDREN.append(proc)
+    try:
+        proc.wait(timeout=sweep_budget + 600)
+    except subprocess.TimeoutExpired:
+        log("sweep exceeded its budget+slack; terminating")
+        proc.terminate()
         try:
-            out2 = subprocess.run(
-                [sys.executable,
-                 os.path.join(REPO, "tools", "scalebench.py"), *args],
-                stdout=subprocess.PIPE, text=True, timeout=timeout, env=env,
-            )
-            sw[key] = (
-                json.loads(out2.stdout.strip().splitlines()[-1])
-                if out2.returncode == 0
-                else {"error": f"rc={out2.returncode}"}
-            )
-        except Exception as exc:
-            sw[key] = {"error": str(exc)[:200]}
+            proc.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    if not os.path.exists(_sweep_out_path()):
+        raise RuntimeError(
+            f"sweep produced no artifact (rc={proc.returncode})"
+        )
+    with open(_sweep_out_path()) as fh:
+        sw = json.load(fh)
+    if sw.get("file_efficiency") is None:
+        raise RuntimeError("sweep artifact has zero completed file pairs")
 
-    # skewed-input variant (judge item #7): salted vs plain shuffle join
-    # under a 90%-hot key — 'skew handled explicitly', measured. 5 reps:
-    # single bad host windows inverted a 3-rep median once (r4 run 2).
-    skew_rows = os.environ.get("SPARK_GRAFT_SKEW_ROWS", "32000000")
-    skew_reps = os.environ.get("SPARK_GRAFT_SKEW_REPS", "5")
-    _extra_phase("skew", ["skew", skew_rows, str(SCALE_4N), skew_reps], 3600)
+    def _extra_phase(key, args, min_budget, timeout):
+        """Side evidence (skew, scan decomposition) — budget-gated, never
+        sinks the sweep, and the SWEEP artifact is rewritten after each so
+        a later kill can't lose it."""
+        if remaining_budget() < min_budget:
+            sw[key] = {
+                "skipped": f"budget ({remaining_budget():.0f}s left)"
+            }
+        else:
+            try:
+                out2 = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "tools", "scalebench.py"), *args],
+                    stdout=subprocess.PIPE, text=True, timeout=timeout,
+                    env=env,
+                )
+                sw[key] = (
+                    json.loads(out2.stdout.strip().splitlines()[-1])
+                    if out2.returncode == 0
+                    else {"error": f"rc={out2.returncode}"}
+                )
+            except Exception as exc:
+                sw[key] = {"error": str(exc)[:200]}
+        with open(_sweep_out_path(), "w") as fh:
+            json.dump(sw, fh)
+
+    # skewed-input variant: salted vs plain shuffle join under a 90%-hot
+    # key — 'skew handled explicitly', measured (r4 recorded 2.34x median
+    # at 5 reps; this keeps the number fresh each round, budget permitting)
+    skew_rows = os.environ.get("SPARK_GRAFT_SKEW_ROWS", "16000000")
+    skew_reps = os.environ.get("SPARK_GRAFT_SKEW_REPS", "3")
+    _extra_phase(
+        "skew", ["skew", skew_rows, str(SCALE_4N), skew_reps],
+        min_budget=420, timeout=max(60, remaining_budget()),
+    )
     # scan-only decomposition: the file-variant criterion = scan ⊕ compute;
-    # this records the scan term (memory-bandwidth-bound on ONE box) so a
-    # sub-0.8 blended number is attributable in-artifact
+    # this records the scan term so a sub-0.8 blend is attributable
     _extra_phase(
         "scan",
         ["scan", str(PAGES_ROWS), "2", str(SCALE_N), str(SCALE_4N)],
-        3600,
+        min_budget=420, timeout=max(60, remaining_budget()),
     )
 
-    os.makedirs(rp("BENCH"), exist_ok=True)
-    with open(rp(f"BENCH/SWEEP_{ROUND_TAG}.json"), "w") as fh:
-        json.dump(sw, fh)
+    return _scaling_view(sw, reps)
+
+
+def _scaling_view(sw: dict, reps_target: int) -> dict:
+    """Normalized view over a (possibly partial) sweep artifact."""
     return {
-        "n": SCALE_N,
-        "n4": SCALE_4N,
-        "median_n": sw[f"file_median_{SCALE_N}"],
-        "median_4n": sw[f"file_median_{SCALE_4N}"],
-        "efficiency": sw["file_efficiency"],
-        "gen_median_n": sw[f"gen_median_{SCALE_N}"],
-        "gen_median_4n": sw[f"gen_median_{SCALE_4N}"],
-        "gen_efficiency": sw["gen_efficiency"],
-        "pair_efficiencies": sw["file_pair_efficiencies"],
-        "gen_pair_efficiencies": sw["gen_pair_efficiencies"],
-        "reps": reps,
+        "n": sw.get("n", SCALE_N),
+        "n4": sw.get("n4", SCALE_4N),
+        "median_n": sw.get(f"file_median_{sw.get('n', SCALE_N)}"),
+        "median_4n": sw.get(f"file_median_{sw.get('n4', SCALE_4N)}"),
+        "efficiency": sw.get("file_efficiency"),
+        "gen_median_n": sw.get(f"gen_median_{sw.get('n', SCALE_N)}"),
+        "gen_median_4n": sw.get(f"gen_median_{sw.get('n4', SCALE_4N)}"),
+        "gen_efficiency": sw.get("gen_efficiency"),
+        "pair_efficiencies": sw.get("file_pair_efficiencies", []),
+        "gen_pair_efficiencies": sw.get("gen_pair_efficiencies", []),
+        "reps": sw.get("reps", reps_target),
+        "partial": sw.get("partial", False),
+        "stop_reason": sw.get("stop_reason"),
         "skew": sw.get("skew", {}),
         "scan": sw.get("scan", {}),
         "sweep": sw,
@@ -254,14 +332,23 @@ def _sweep_criterion_line() -> str:
     engine-isolated secondary, never max()'d in (round-2 advice). From r4
     the per-variant statistic is the median of same-window PAIRED per-rep
     efficiencies (round-3 judge fix (b))."""
-    for tag in (ROUND_TAG, "r3", "r2", "r1"):
+    for tag in (ROUND_TAG, "r4", "r3", "r2", "r1"):
         p = rp(f"BENCH/SWEEP_{tag}.json")
         if not os.path.exists(p):
             continue
         with open(p) as fh:
             sw = json.load(fh)
+        if sw.get("file_efficiency") is None:
+            continue
         file_met = sw["file_efficiency"] >= 0.8
-        gen_met = sw["gen_efficiency"] >= 0.8
+        gen_eff = sw.get("gen_efficiency")
+        gen_part = (
+            f"generated input (engine-isolated secondary, no sandbox-FS "
+            f"reads) {gen_eff} — {'MET' if gen_eff >= 0.8 else 'NOT met'}"
+            if gen_eff is not None
+            else "generated input: no completed pairs this run (see prior "
+            "rounds' tables below)"
+        )
         stat = (
             "median of paired per-rep efficiencies"
             if "file_pair_efficiencies" in sw
@@ -273,12 +360,15 @@ def _sweep_criterion_line() -> str:
             f"statistic = {stat}):** "
             f"file input (PRIMARY criterion statistic) "
             f"{sw['file_efficiency']} — "
-            f"{'MET' if file_met else 'NOT met'}; generated input "
-            f"(engine-isolated secondary, no sandbox-FS reads) "
-            f"{sw['gen_efficiency']} — {'MET' if gen_met else 'NOT met'} "
-            "(full tables below).\n\n"
+            f"{'MET' if file_met else 'NOT met'}; "
+            + gen_part
+            + " (full tables below).\n\n"
         )
     return ""
+
+
+def _fmt_num(x, nd=1):
+    return "—" if x is None else round(x, nd)
 
 
 def write_baseline_md(scaling: dict) -> None:
@@ -292,20 +382,34 @@ def write_baseline_md(scaling: dict) -> None:
             "seed-42 generator in `logstash_filter_translate_spark/plans/pages.py`),\n"
             "run at two parallelism levels per the driver protocol (no real\n"
             "multi-node cluster available).\n\n"
-            "**Round-4 protocol** (each round-3 judge fix applied): each\n"
-            "measurement is a separate JVM warmed with one full-size pass,\n"
-            "then ONE timed run of ≥60 s (40M rows — long enough that host\n"
-            "noise bursts amortize within the run); the file variant's page\n"
-            "cache is explicitly re-warmed before every measurement; each\n"
-            "rep runs local[4N] then local[N] back-to-back (adjacent in\n"
-            "time, shared noise window — the short 4N run first, halving\n"
-            "the intra-pair gap) and contributes one PAIRED efficiency;\n"
-            "the criterion statistic is the MEDIAN OF PAIRS — never a\n"
-            "ratio of cross-rep medians, which mixed a quiet-window\n"
-            "numerator with a noisy-window denominator\n"
-            f"(the r3 miss). {scaling.get('reps', 7)} file reps (primary),\n"
-            f"{len(scaling.get('gen_pair_efficiencies', []))} gen reps "
-            "(engine-isolated secondary). Every measurement also records\n"
+            "**Round-5 protocol** (r4 statistics + artifact-completeness\n"
+            "hardening): each measurement is a separate JVM warmed with a\n"
+            "reduced-size pass (heap pre-touched at start, so the short\n"
+            "warmup still leaves a steady-state JVM), then ONE timed run\n"
+            "of ≥60 s (40M rows — long enough that host noise bursts\n"
+            "amortize within the run); the file variant's page cache is\n"
+            "explicitly re-warmed before every measurement; each rep runs\n"
+            "local[4N] then local[N] back-to-back (adjacent in time,\n"
+            "shared noise window — the short 4N run first, halving the\n"
+            "intra-pair gap) and contributes one PAIRED efficiency; the\n"
+            "criterion statistic is the MEDIAN OF PAIRS — never a ratio\n"
+            "of cross-rep medians, which mixed a quiet-window numerator\n"
+            "with a noisy-window denominator (the r3 miss). ALL file\n"
+            "pairs (the criterion) run before any gen pair; the sweep\n"
+            "artifact is rewritten after every completed pair and the\n"
+            "whole bench runs under an explicit wall-clock budget with\n"
+            "SIGTERM-safe finalization — a kill at any instant leaves a\n"
+            "valid artifact (the r4 driver run died rc=124 holding a\n"
+            f"passing median it never wrote). {scaling.get('reps')} file\n"
+            f"pairs (primary), "
+            f"{len(scaling.get('gen_pair_efficiencies', []))} gen pairs "
+            "(engine-isolated secondary)"
+            + (
+                f" — PARTIAL run: {scaling.get('stop_reason')}"
+                if scaling.get("partial")
+                else ""
+            )
+            + ". Every measurement also records\n"
             "host telemetry (hypervisor STEAL%, host busy%, and the JVM's\n"
             "achieved utilization of its thread allocation) in the sweep\n"
             "artifact's `host` map — a low pair with high steal / low\n"
@@ -313,10 +417,10 @@ def write_baseline_md(scaling: dict) -> None:
             "| cluster size | file input (PRIMARY) median pages/sec | "
             "generated input median pages/sec |\n"
             "|---|---|---|\n"
-            f"| N = local[{n}] | {round(scaling['median_n'], 1)} | "
-            f"{round(scaling.get('gen_median_n', 0), 1)} |\n"
-            f"| 4N = local[{n4}] | {round(scaling['median_4n'], 1)} | "
-            f"{round(scaling.get('gen_median_4n', 0), 1)} |\n\n"
+            f"| N = local[{n}] | {_fmt_num(scaling['median_n'])} | "
+            f"{_fmt_num(scaling.get('gen_median_n'))} |\n"
+            f"| 4N = local[{n4}] | {_fmt_num(scaling['median_4n'])} | "
+            f"{_fmt_num(scaling.get('gen_median_4n'))} |\n\n"
             f"**Scaling efficiency (N→4N, file input — the criterion "
             f"statistic: median of paired per-rep efficiencies)** "
             f"= **{scaling['efficiency']}** (target ≥ 0.8); generated "
@@ -423,15 +527,26 @@ def write_baseline_md(scaling: dict) -> None:
                 "planner-independent mechanism the north_rule asks for.)\n"
             )
         for tag, label in (
-            (ROUND_TAG, "current round"), ("r3", "round 3"),
-            ("r2", "round 2"), ("r1", "round 1")
+            (ROUND_TAG, "current round"), ("r4", "round 4"),
+            ("r3", "round 3"), ("r2", "round 2"), ("r1", "round 1")
         ):
             sweep_path = rp(f"BENCH/SWEEP_{tag}.json")
             if not os.path.exists(sweep_path):
                 continue
             with open(sweep_path) as sweep_fh:
                 sweep = json.load(sweep_fh)
+            if sweep.get("file_efficiency") is None:
+                continue
             sn, sn4 = sweep.get("n", 8), sweep.get("n4", 32)
+            gen_row = (
+                f"| generated input (no FS reads) | "
+                f"{sweep.get(f'gen_median_{sn}')} |"
+                f" {sweep.get(f'gen_median_{sn4}')} |"
+                f" {sweep['gen_efficiency']} |"
+                f" {sweep['gen_best_efficiency']} |\n"
+                if sweep.get("gen_efficiency") is not None
+                else "| generated input (no FS reads) | — | — | — | — |\n"
+            )
             fh.write(
                 f"\n## Interleaved {sweep['reps']}-rep sweep — {label} "
                 f"({sweep['rows']:,} rows, local[{sn}]→local[{sn4}], one JVM "
@@ -441,10 +556,8 @@ def write_baseline_md(scaling: dict) -> None:
                 f"| file input | {sweep[f'file_median_{sn}']} |"
                 f" {sweep[f'file_median_{sn4}']} |"
                 f" {sweep['file_efficiency']} | {sweep['file_best_efficiency']} |\n"
-                f"| generated input (no FS reads) | {sweep[f'gen_median_{sn}']} |"
-                f" {sweep[f'gen_median_{sn4}']} | {sweep['gen_efficiency']} |"
-                f" {sweep['gen_best_efficiency']} |\n\n"
-                f"Raw per-rep throughputs: {json.dumps(sweep['throughput'])}\n"
+                + gen_row
+                + f"\nRaw per-rep throughputs: {json.dumps(sweep['throughput'])}\n"
             )
             if tag == "r2" and os.path.exists(rp("BENCH/SWEEP_r2a.json")):
                 fh.write(
@@ -480,94 +593,197 @@ def write_baseline_md(scaling: dict) -> None:
             break
 
 
+#: progressively-built result state: the signal handler emits THIS, so a
+#: kill at any instant still produces the one parseable stdout JSON line
+STATE = {"timings": {}, "total": 0.0, "extras": {}, "sf": 0.1,
+         "emitted": False}
+#: live child processes (the sweep); the signal handler TERMs them so a
+#: killed bench doesn't leave an orphan burning the host through the
+#: judge's next steps — their own handlers finalize their artifacts
+CHILDREN = []
+
+
+def emit_final() -> None:
+    if STATE["emitted"]:
+        return
+    STATE["emitted"] = True
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": STATE["total"],
+                "unit": "sec",
+                "queries": STATE["timings"],
+                "sf": STATE["sf"],
+                "extras": STATE["extras"],
+            }
+        ),
+        flush=True,
+    )
+
+
+def _scaling_extras_from_sweep() -> None:
+    """(Re)build extras.scaling from the incrementally-written SWEEP
+    artifact — called both on the happy path and from the signal handler,
+    so whatever pairs completed are always in the stdout line."""
+    p = _sweep_out_path()
+    if not os.path.exists(p):
+        return
+    try:
+        with open(p) as fh:
+            sw = json.load(fh)
+    except Exception:
+        return
+    if sw.get("file_efficiency") is None:
+        STATE["extras"]["scaling_error"] = "sweep: no completed file pairs"
+        return
+    scaling = _scaling_view(sw, sw.get("reps", 0))
+    gen_eff = scaling["gen_efficiency"]
+    STATE["extras"]["scaling"] = {
+        "protocol": (
+            f"interleaved sweep, {scaling['reps']} file pairs then "
+            f"{len(scaling['gen_pair_efficiencies'])} gen pairs, one JVM "
+            "per measurement, >=60s timed runs, page cache warmed per "
+            "file measurement, incremental artifact + SIGTERM-safe "
+            "finalization under a wall-clock budget; criterion = MEDIAN "
+            "OF PAIRED per-rep efficiencies (rep i's N vs rep i's 4N, "
+            "adjacent in time); primary statistic = file-input variant "
+            "(gen variant recorded separately, never max()'d)"
+        ),
+        "pages_rows": PAGES_ROWS,
+        "n": scaling["n"],
+        "n4": scaling["n4"],
+        f"local{scaling['n']}_median_pages_per_sec": scaling["median_n"],
+        f"local{scaling['n4']}_median_pages_per_sec": scaling["median_4n"],
+        "efficiency_n_to_4n_paired_median": scaling["efficiency"],
+        "gen_efficiency_n_to_4n_paired_median": gen_eff,
+        "criterion_met_file": scaling["efficiency"] >= 0.8,
+        "criterion_met_gen": (gen_eff >= 0.8) if gen_eff is not None else None,
+        "pair_efficiencies": scaling["pair_efficiencies"],
+        "gen_pair_efficiencies": scaling["gen_pair_efficiencies"],
+        "partial": scaling["partial"],
+        "stop_reason": scaling["stop_reason"],
+        "skew": {
+            k: scaling["skew"].get(k)
+            for k in (
+                "median_speedup", "pair_speedups",
+                "plain_sec", "salted_sec", "error", "skipped",
+            )
+            if k in scaling["skew"]
+        },
+        "scan_decomposition": {
+            k: scaling["scan"].get(k)
+            for k in (
+                "median_efficiency", "pair_efficiencies", "error", "skipped",
+            )
+            if k in scaling["scan"]
+        },
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    STATE["sf"] = float(
+        os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+    )
+
+    def _on_signal(signum, frame):
+        # the driver's timeout kill must still yield a parseable artifact
+        # (round-4 judge item #1): refresh scaling extras from whatever the
+        # sweep wrote so far, emit the JSON line, exit cleanly
+        log(f"bench: signal {signum} — emitting partial result")
+        STATE["extras"]["interrupted"] = f"signal {signum}"
+        for proc in CHILDREN:
+            if proc.poll() is None:
+                proc.terminate()  # its handler finalizes its artifact
+        if any(p.poll() is None for p in CHILDREN):
+            time.sleep(3)  # give the sweep's handler time to write
+        _scaling_extras_from_sweep()
+        emit_final()
+        for proc in CHILDREN:  # don't leave an orphan JVM behind
+            if proc.poll() is None:
+                proc.kill()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
 
     if os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0":
         log(f"headline queries at {sf_dir} on local[{cpus}]")
         timings, all_reps = run_headline(sf_dir, cpus)
-        # sum of per-query best-of-2 timings (wall time would double-count
-        # the repeat runs)
+        # sum of per-query medians (wall time would count the warm +
+        # repeat runs)
         total = round(sum(timings.values()), 3)
+        STATE["timings"], STATE["total"] = timings, total
     else:
         timings, total, all_reps = {}, 0.0, {}
 
-    extras = {}
+    extras = STATE["extras"]
     if all_reps:
-        # label the headline statistic explicitly and emit the mean-of-reps
-        # total alongside (round-2 advice: don't report only best-of-2).
-        # Full per-query rep times go to a side file — keeping the stdout
-        # JSON line compact so log-tail capture can never truncate it.
+        # label the headline statistic explicitly; best-of kept alongside
+        # for cross-round continuity with r1-r4 artifacts. Full per-query
+        # rep times go to a side file — keeping the stdout JSON line
+        # compact so log-tail capture can never truncate it.
         extras["headline"] = {
-            "protocol": "per-query best-of-2, steady-state session, "
-            "cold plan per run",
-            "total_best_of_2": total,
-            "total_mean_of_2": round(
-                sum(sum(r) / len(r) for r in all_reps.values()), 3
+            "protocol": "per-query: 1 untimed warm run + 3 timed reps, "
+            "MEDIAN reported, steady-state session, cold plan per run",
+            "total_median_of_3": total,
+            "total_best_of_3": round(
+                sum(min(r["timed"]) for r in all_reps.values()), 3
+            ),
+            "warm_over_rep_median_ratio": round(
+                statistics.median(
+                    r["warm"] / max(statistics.median(r["timed"]), 1e-9)
+                    for r in all_reps.values()
+                ),
+                2,
             ),
             "per_query_reps_file": f"BENCH/HEADLINE_{ROUND_TAG}.json",
         }
         os.makedirs(rp("BENCH"), exist_ok=True)
         with open(rp(f"BENCH/HEADLINE_{ROUND_TAG}.json"), "w") as fh:
-            json.dump(
-                {k: [round(x, 3) for x in v] for k, v in all_reps.items()},
-                fh,
-            )
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+            json.dump(all_reps, fh)
+    # plan-fingerprint artifact (round-4 judge item #6): a normalized
+    # physical-plan digest per contract query — regression tracking that
+    # host timing noise can't fake. Cheap (~1 min at sf0.001), own JVM.
+    if os.environ.get("SPARK_GRAFT_PLANFP", "1") != "0" and (
+        remaining_budget() > 360
+    ):
         try:
-            scaling = run_scaling()
-            write_baseline_md(scaling)
-            extras["scaling"] = {
-                "protocol": (
-                    f"interleaved sweep, {scaling['reps']} file reps + "
-                    f"{len(scaling.get('gen_pair_efficiencies', []))} gen "
-                    "reps, one JVM per measurement, >=60s timed runs, page "
-                    "cache warmed per file measurement; criterion = MEDIAN "
-                    "OF PAIRED per-rep efficiencies (rep i's N vs rep i's "
-                    "4N, adjacent in time); primary statistic = file-input "
-                    "variant (gen variant recorded separately, never "
-                    "max()'d)"
-                ),
-                "pages_rows": PAGES_ROWS,
-                "n": scaling["n"],
-                "n4": scaling["n4"],
-                f"local{scaling['n']}_median_pages_per_sec": scaling["median_n"],
-                f"local{scaling['n4']}_median_pages_per_sec": scaling["median_4n"],
-                "efficiency_n_to_4n_paired_median": scaling["efficiency"],
-                "gen_efficiency_n_to_4n_paired_median": scaling["gen_efficiency"],
-                "criterion_met_file": scaling["efficiency"] >= 0.8,
-                "criterion_met_gen": scaling["gen_efficiency"] >= 0.8,
-                "pair_efficiencies": scaling["pair_efficiencies"],
-                "gen_pair_efficiencies": scaling.get(
-                    "gen_pair_efficiencies", []
-                ),
-                "skew": {
-                    k: scaling.get("skew", {}).get(k)
-                    for k in (
-                        "median_speedup", "pair_speedups",
-                        "plain_sec", "salted_sec", "error",
-                    )
-                    if k in scaling.get("skew", {})
-                },
-                "scan_decomposition": {
-                    k: scaling.get("scan", {}).get(k)
-                    for k in (
-                        "median_efficiency", "pair_efficiencies", "error",
-                    )
-                    if k in scaling.get("scan", {})
-                },
-            }
-        except Exception as exc:  # never lose the headline JSON line
-            log(f"scaling phase failed: {exc}")
-            extras["scaling_error"] = str(exc)[:300]
-    # robust reference numbers from the newest interleaved sweep, if present
-    for tag in (ROUND_TAG, "r3", "r2", "r1"):
+            os.makedirs(rp("BENCH"), exist_ok=True)
+            subprocess.run(
+                [sys.executable, rp("tools/planfingerprint.py"),
+                 "/root/testdata/sf0.001",
+                 rp(f"BENCH/PLANS_{ROUND_TAG}.json")],
+                timeout=600, stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, check=True,
+            )
+            extras["plan_fingerprints"] = f"BENCH/PLANS_{ROUND_TAG}.json"
+        except Exception as exc:
+            extras["plan_fingerprints_error"] = str(exc)[:200]
+    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        if remaining_budget() < 420:
+            extras["scaling_error"] = (
+                f"skipped: {remaining_budget():.0f}s budget left after "
+                "headline"
+            )
+        else:
+            try:
+                scaling = run_scaling()
+                write_baseline_md(scaling)
+            except Exception as exc:  # never lose the headline JSON line
+                log(f"scaling phase failed: {exc}")
+                extras["scaling_error"] = str(exc)[:300]
+            _scaling_extras_from_sweep()
+    # robust reference numbers from the newest complete interleaved sweep
+    for tag in (ROUND_TAG, "r4", "r3", "r2", "r1"):
         sweep_path = rp(f"BENCH/SWEEP_{tag}.json")
         if os.path.exists(sweep_path):
             with open(sweep_path) as sweep_fh:
                 sw = json.load(sweep_fh)
+            if sw.get("file_efficiency") is None:
+                continue
             extras["sweep"] = {
                 k: sw[k]
                 for k in (
@@ -580,18 +796,7 @@ def main() -> None:
             extras["sweep"]["tag"] = tag
             break
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "extras": extras,
-            }
-        )
-    )
+    emit_final()
 
 
 if __name__ == "__main__":

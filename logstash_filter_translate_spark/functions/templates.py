@@ -30,20 +30,25 @@ _FIELD_REF = re.compile(r"%\{([^}]+)\}")
 DEFAULT_TS_COL = "warc_ts"
 
 
-def _joda_to_spark_pattern(pattern: str) -> str:
-    """Rewrite a Joda-Time pattern (Logstash's Event#sprintf grammar) to
-    Spark's DateTimeFormatter pattern. The tokens they disagree on:
-    Joda ``Y`` = year-of-era (→ Java ``y``; Java's ``Y`` is week-based-year,
-    which would silently shift dates near New Year) and Joda ``x`` =
-    weekyear (→ Java ``Y``). Everything else — y M d H h m s S E D w a K k
-    z G and quoted literals — is shared grammar and passes through."""
-    out = []
-    i = 0
-    n = len(pattern)
+#: Joda letters that are shared grammar with Spark's DateTimeFormatter and
+#: execute directly inside ``date_format`` (Joda ``Y`` year-of-era is also
+#: fine — it rewrites to Java ``y``; Java's own ``Y`` is week-based and
+#: BANNED by Spark >= 3.0, see _joda_computed)
+_JODA_PASSTHROUGH = frozenset("GyDMdEaKhHkmsSzZ")
+#: Joda week-based / era tokens Spark's formatter refuses
+#: (SparkUpgradeException on Y/w/W/u/e/c since Spark 3.0) — compiled to
+#: field-extraction expressions instead of format letters
+_JODA_COMPUTED = frozenset("xweC")
+
+
+def _tokenize_joda(pattern: str):
+    """Split a Joda pattern into ('lit', text) quoted-literal segments,
+    ('run', letter, count) letter runs, and ('sep', char) punctuation."""
+    i, n = 0, len(pattern)
     while i < n:
         c = pattern[i]
         if c == "'":
-            # quoted literal: copy verbatim through the closing quote
+            # quoted literal: verbatim through the closing quote
             # (an embedded '' is an escaped quote, not a terminator)
             j = i + 1
             while j < n:
@@ -53,29 +58,101 @@ def _joda_to_spark_pattern(pattern: str) -> str:
                         continue
                     break
                 j += 1
-            out.append(pattern[i : j + 1])
+            yield ("lit", pattern[i : j + 1])
             i = j + 1
-            continue
-        if c.isalpha():
+        elif c.isalpha():
             j = i
             while j < n and pattern[j] == c:
                 j += 1
-            out.append({"Y": "y", "x": "Y"}.get(c, c) * (j - i))
+            yield ("run", c, j - i)
             i = j
-            continue
-        out.append(c)
-        i += 1
-    return "".join(out)
+        else:
+            yield ("sep", c)
+            i += 1
+
+
+def _weekyear(ts: Column) -> Column:
+    """ISO week-based year (Joda ``x``): the year that owns the row's ISO
+    week — Dec 29-31 can belong to next year's week 1, Jan 1-3 to the
+    previous year's week 52/53. ``weekofyear`` is ISO in both Joda and
+    Spark, so the ownership correction is exactly the two edge cases."""
+    w = F.weekofyear(ts)
+    return (
+        F.year(ts)
+        + F.when((F.month(ts) == 12) & (w == 1), 1).otherwise(0)
+        - F.when((F.month(ts) == 1) & (w >= 52), 1).otherwise(0)
+    )
+
+
+def _joda_computed(letter: str, runlen: int, ts: Column) -> Column:
+    """One Joda week/era token → a zero-padded string expression. Spark
+    bans the week-based format letters outright (date_format with
+    ``'ww'``/``'YYYY'``-as-weekyear throws SparkUpgradeException on this
+    Spark 4.1 session), so these fields come from extraction functions."""
+    if letter == "x":  # weekyear; 'xx' = last two digits (Joda short form)
+        val = _weekyear(ts)
+        if runlen == 2:
+            val = F.pmod(val, F.lit(100))
+    elif letter == "w":  # week of weekyear (ISO)
+        val = F.weekofyear(ts)
+    elif letter == "e":  # day of week, ISO numbering Mon=1..Sun=7
+        val = F.weekday(ts) + 1
+    else:  # "C": century of era
+        val = F.floor(F.year(ts) / 100)
+    if runlen > 1:
+        # Joda run length = MINIMUM digits (zero-padded, never truncated)
+        return F.format_string(f"%0{runlen}d", val.cast("long"))
+    return val.cast("string")
+
+
+def _compile_joda(pattern: str, ts: Column) -> Column:
+    """Compile a Joda pattern to a Column: maximal ``date_format`` chunks
+    for shared-grammar letters, expression pieces for the week-based
+    tokens Spark's formatter bans. Unknown letters raise at PLAN time
+    (Spark would otherwise throw per-task at execution)."""
+    pieces: List[Column] = []
+    buf: List[str] = []  # pending date_format chunk
+
+    def flush():
+        if buf:
+            pieces.append(F.date_format(ts, "".join(buf)))
+            buf.clear()
+
+    for tok in _tokenize_joda(pattern):
+        if tok[0] == "run":
+            letter, count = tok[1], tok[2]
+            if letter == "Y":  # Joda year-of-era → Java 'y' (Java 'Y' is
+                buf.append("y" * count)  # week-based and banned)
+            elif letter in _JODA_PASSTHROUGH:
+                buf.append(letter * count)
+            elif letter in _JODA_COMPUTED:
+                flush()
+                pieces.append(_joda_computed(letter, count, ts))
+            else:
+                raise ValueError(
+                    f"unsupported Joda pattern letter {letter!r} in "
+                    f"%{{+{pattern}}} (supported: "
+                    f"{''.join(sorted(_JODA_PASSTHROUGH))} Y "
+                    f"{''.join(sorted(_JODA_COMPUTED))} and 'quoted' text)"
+                )
+        else:  # 'lit' quoted text / 'sep' punctuation: both are valid
+            buf.append(tok[1])  # date_format pattern content verbatim
+    flush()
+    body = pieces[0] if len(pieces) == 1 else F.concat(*pieces)
+    # uniform NULL semantics: NULL timestamp → NULL (concat of computed
+    # pieces already NULL-propagates; this also covers all-literal patterns)
+    return F.when(ts.isNotNull(), body)
 
 
 def _time_ref_column(pattern: str, ts_col: str, literal: str) -> Column:
-    """``%{+FORMAT}`` → date_format over the designated timestamp column;
-    ``%{+%s}`` → epoch seconds (the reference's special case). NULL
-    timestamp degrades to the literal text, same as a missing field."""
+    """``%{+FORMAT}`` → Joda-pattern formatting over the designated
+    timestamp column; ``%{+%s}`` → epoch seconds (the reference's special
+    case). NULL timestamp degrades to the literal text, same as a missing
+    field."""
     if pattern == "%s":
         formatted = F.unix_timestamp(F.col(ts_col)).cast("string")
     else:
-        formatted = F.date_format(F.col(ts_col), _joda_to_spark_pattern(pattern))
+        formatted = _compile_joda(pattern, F.col(ts_col))
     return F.coalesce(formatted, F.lit(literal))
 
 

@@ -132,6 +132,12 @@ def generate_pages(
     )
 
 
+#: bumped whenever write_pages_corpus changes the on-disk layout
+#: (codec/row groups) so bench caches regenerate instead of silently
+#: measuring the previous format
+CORPUS_FORMAT_TAG = "v4snappy"
+
+
 def write_pages_corpus(
     spark: SparkSession, path: str, n_rows: int, partitions: int | None = None
 ) -> None:

@@ -118,23 +118,40 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
-    """Deterministic per-(query, input) scratch dir for the streaming
-    queries, wiped fresh on each invocation — mkdtemp accumulated a new
-    directory per bench/selfcheck run (round-2 advice); a stable path
-    reused-and-reset leaks nothing."""
+    """Deterministic per-(query, input, process) scratch dir for the
+    streaming queries, wiped fresh on each invocation. os.getpid() in the
+    path keeps two concurrent bench/selfcheck processes from rmtree'ing
+    each other's in-flight sink/checkpoint (round-3 advice); the pid
+    suffix would otherwise accumulate one dir per past run (round-4
+    advice), so each call (a) registers an atexit cleanup of its own dir
+    and (b) sweeps stale siblings whose creator pid is no longer alive."""
+    import atexit
     import hashlib
     import shutil
     import tempfile
 
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # os.getpid() in the path: two concurrent bench/selfcheck processes over
-    # the same sf_dir must not rmtree each other's in-flight streaming sink
-    # and checkpoint (round-3 advice); growth stays bounded per boot.
-    path = os.path.join(
-        tempfile.gettempdir(), f"lfts_{tag}_{suffix}_{os.getpid()}"
-    )
+    base = tempfile.gettempdir()
+    prefix = f"lfts_{tag}_{suffix}_"
+    try:
+        for name in os.listdir(base):
+            if not name.startswith(prefix):
+                continue
+            pid_s = name[len(prefix):]
+            if not pid_s.isdigit() or int(pid_s) == os.getpid():
+                continue
+            try:
+                os.kill(int(pid_s), 0)  # alive → leave its dir alone
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid
+    except OSError:
+        pass
+    path = os.path.join(base, f"{prefix}{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 

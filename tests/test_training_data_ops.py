@@ -93,6 +93,41 @@ def test_simhash_pairs_banding_finds_all_close_pairs(spark, docs):
     assert not any(5 in p for p in got)  # tokenless doc never pairs
 
 
+def test_max_bucket_cap_drops_wide_buckets_opt_in(spark, docs):
+    """The skew guard is opt-in (default None keeps oracle-exact recall);
+    when set, every row of an over-cap bucket is dropped, so pairs that
+    only met in wide buckets disappear — and the capped output is always
+    a subset of the uncapped one."""
+    from logstash_filter_translate_spark.operators.dedup import simhash_pairs
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "text", "doc_id", bits=32).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            docs, "text", "doc_id", bits=32, max_bucket=2
+        ).collect()
+    }
+    # docs 0/1/4 share a signature → their band buckets are 3 wide → gone
+    assert (0, 1) in uncapped
+    assert (0, 1) not in capped
+    assert capped <= uncapped
+
+    sigs = minhash_signatures(docs, "text", "doc_id")
+    lsh_uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id").collect()
+    }
+    lsh_capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs, "doc_id", max_bucket=2).collect()
+    }
+    assert (0, 1) in lsh_uncapped and (0, 1) not in lsh_capped
+    assert lsh_capped <= lsh_uncapped
+
+
 def test_simhash_pairs_rejects_indivisible_bands():
     from logstash_filter_translate_spark.operators.dedup import simhash_pairs
 

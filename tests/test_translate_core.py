@@ -208,17 +208,75 @@ def test_fallback_sprintf_time_ref_absent_ts_keeps_literal(spark):
     assert one(out) == ("d-%{+YYYY.MM.dd}", ROUTE_FALLBACK)
 
 
-def test_joda_pattern_rewrite():
+def _fmt(spark, pattern, dt):
+    """Execute a %{+pattern} time ref against one timestamp and return the
+    formatted string — every claimed token is covered at EXECUTION level
+    (a rewrite-only test missed that Spark >= 3.0 bans week-based format
+    letters: date_format with 'ww' throws SparkUpgradeException)."""
     from logstash_filter_translate_spark.functions.templates import (
-        _joda_to_spark_pattern,
+        compile_sprintf,
     )
 
+    df = spark.createDataFrame([(dt,)], "warc_ts timestamp")
+    return df.select(
+        compile_sprintf("%{+" + pattern + "}").alias("v")
+    ).collect()[0]["v"]
+
+
+def test_joda_year_of_era_not_week_based(spark):
+    import datetime
+
     # Joda Y (year-of-era) must become Java y — Java's Y is week-based-year
-    # and silently shifts dates around New Year
-    assert _joda_to_spark_pattern("YYYY.MM.dd") == "yyyy.MM.dd"
-    assert _joda_to_spark_pattern("xxxx-'w'ww") == "YYYY-'w'ww"
+    # (and banned by Spark); 2021-01-01 is ISO week 53 of weekyear 2020,
+    # the exact date where the two diverge
+    dt = datetime.datetime(2021, 1, 1, 12, 0, 0)
+    assert _fmt(spark, "YYYY.MM.dd", dt) == "2021.01.01"
+
+
+def test_joda_week_tokens_execute(spark):
+    # the Logstash-common weekly rotation pattern %{+xxxx.ww}: Joda
+    # x = weekyear, w = week-of-weekyear — Spark's formatter refuses both
+    # letters, so they compile to extraction expressions; verify the
+    # executed values against Python's isocalendar (same ISO definition)
+    import datetime
+
+    cases = [
+        datetime.datetime(2021, 1, 1),    # Friday → week 53 of 2020
+        datetime.datetime(2026, 12, 28),  # Monday → week 53 of 2026
+        datetime.datetime(2021, 3, 5),    # mid-year, week == calendar year
+        datetime.datetime(2024, 12, 30),  # Monday → week 1 of 2025
+    ]
+    for dt in cases:
+        iso = dt.isocalendar()
+        assert _fmt(spark, "xxxx.ww", dt) == f"{iso[0]:04d}.{iso[1]:02d}"
+        assert _fmt(spark, "xxxx-'w'ww", dt) == f"{iso[0]:04d}-w{iso[1]:02d}"
+        # e = ISO day-of-week number (Mon=1..Sun=7)
+        assert _fmt(spark, "e", dt) == str(iso[2])
+    # xx = two-digit weekyear (Joda short form)
+    assert _fmt(spark, "xx.ww", datetime.datetime(2021, 1, 1)) == "20.53"
+
+
+def test_joda_century_and_quoted_literals_execute(spark):
+    import datetime
+
+    dt = datetime.datetime(2021, 3, 5, 12, 34, 56)
+    assert _fmt(spark, "CC", dt) == "20"
     # quoted literals pass through untouched, including letters inside
-    assert _joda_to_spark_pattern("'Year 'YYYY''''") == "'Year 'yyyy''''"
+    assert _fmt(spark, "'Year 'YYYY''''", dt) == "Year 2021'"
+
+
+def test_joda_unsupported_letter_raises_at_plan_time(spark):
+    import pytest
+
+    from logstash_filter_translate_spark.functions.templates import (
+        compile_sprintf,
+    )
+
+    # 'W' (week-of-month) is SimpleDateFormat grammar, not Joda, and not
+    # expressible in Spark's formatter — fail loudly at plan time instead
+    # of per-task at execution
+    with pytest.raises(ValueError, match="unsupported Joda pattern"):
+        compile_sprintf("%{+YYYY'W'W}")
 
 
 # -- case 6: per-format value typing (spec :232-379) ---------------------------
