@@ -286,7 +286,10 @@ def run_scaling() -> dict:
     # skewed-input variant: salted vs plain shuffle join under a 90%-hot
     # key — 'skew handled explicitly', measured (r4 recorded 2.34x median
     # at 5 reps; this keeps the number fresh each round, budget permitting)
-    skew_rows = os.environ.get("SPARK_GRAFT_SKEW_ROWS", "16000000")
+    # 32M rows: at 16M the hot key's single-reducer tail is too short to
+    # dominate the run and the salted/plain separation drowns in fixed
+    # costs (r5 builder run: 1.09x median at 16M vs 2.34x at 32M in r4)
+    skew_rows = os.environ.get("SPARK_GRAFT_SKEW_ROWS", "32000000")
     skew_reps = os.environ.get("SPARK_GRAFT_SKEW_REPS", "3")
     _extra_phase(
         "skew", ["skew", skew_rows, str(SCALE_4N), skew_reps],
@@ -413,7 +416,12 @@ def write_baseline_md(scaling: dict) -> None:
             "host telemetry (hypervisor STEAL%, host busy%, and the JVM's\n"
             "achieved utilization of its thread allocation) in the sweep\n"
             "artifact's `host` map — a low pair with high steal / low\n"
-            "jvm_util is quantified host theft, not a plan property.\n\n"
+            "jvm_util is quantified host theft, not a plan property.\n"
+            "A recurring host artifact: the FIRST local[4N] measurement\n"
+            "of a phase often lands ~2x low with clean telemetry (r5:\n"
+            "file rep0 pair 0.501, scan rep0 0.368, vs 0.78-1.18 for\n"
+            "every later rep) — the paired-median statistic absorbs it;\n"
+            "per-rep raws below keep it visible.\n\n"
             "| cluster size | file input (PRIMARY) median pages/sec | "
             "generated input median pages/sec |\n"
             "|---|---|---|\n"
