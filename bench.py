@@ -374,6 +374,34 @@ def _fmt_num(x, nd=1):
     return "—" if x is None else round(x, nd)
 
 
+def _with_fallback(current, required_key, sweep_key):
+    """Side-evidence carry-forward: when THIS run's budget skipped a side
+    phase (skew / scan), fall back to the newest recorded sweep that has
+    it — a budget-tight driver window must not silently erase evidence
+    from BENCH/BASELINE.md that an earlier complete run recorded. The
+    section is labeled with its source round."""
+    current = current or {}
+    if required_key in current:
+        return current
+    for tag in (ROUND_TAG, "r5", "r4", "r3", "r2", "r1"):
+        p = rp(f"BENCH/SWEEP_{tag}.json")
+        if not os.path.exists(p):
+            continue
+        try:
+            with open(p) as fh:
+                sub = json.load(fh).get(sweep_key) or {}
+        except Exception:
+            continue
+        if required_key in sub:
+            sub = dict(sub)
+            sub["_from"] = (
+                f"carried from the {tag} sweep — skipped this run: "
+                f"{current.get('skipped') or current.get('error') or 'n/a'}"
+            )
+            return sub
+    return current
+
+
 def write_baseline_md(scaling: dict) -> None:
     os.makedirs(rp("BENCH"), exist_ok=True)
     n, n4 = scaling["n"], scaling["n4"]
@@ -486,11 +514,15 @@ def write_baseline_md(scaling: dict) -> None:
                 "job is one shuffle-free codegen stage; there is\nno "
                 "contention point in the plan to saturate).\n"
             )
-        scan = scaling.get("scan") or {}
+        scan = _with_fallback(
+            scaling.get("scan"), "median_efficiency", "scan"
+        )
         if scan and "median_efficiency" in scan:
             fh.write(
                 "\n## Decomposition: where the file variant's gap lives "
-                "(measured)\n\n"
+                "(measured"
+                + (f"; {scan['_from']}" if "_from" in scan else "")
+                + ")\n\n"
                 "The blended file-variant job = parquet scan ⊕ "
                 "parse/enrich compute. Measured separately in the same "
                 "protocol (paired, page-cache-warmed, one JVM each):\n\n"
@@ -512,10 +544,16 @@ def write_baseline_md(scaling: dict) -> None:
                 "does not transfer; the in-artifact gen median is the "
                 "engine-attributable scaling number.\n"
             )
-        skew = scaling.get("skew") or {}
+        skew = _with_fallback(scaling.get("skew"), "median_speedup", "skew")
         if skew and "median_speedup" in skew:
             fh.write(
-                "\n## Skewed-input rep — explicit skew handling, measured\n\n"
+                "\n## Skewed-input rep — explicit skew handling, measured"
+                + (
+                    f" ({skew['_from']})"
+                    if "_from" in skew
+                    else ""
+                )
+                + "\n\n"
                 f"Zipfian probe side ({skew['rows']:,} rows, "
                 f"{skew['hot_pct']}% on ONE hot key) shuffle-joined to a "
                 "1001-key dictionary with broadcast AND AQE skew-join "
