@@ -211,6 +211,37 @@ FROM events e LEFT JOIN dict d ON e.event_type = d.k
 """
 
 
+def q_fallback_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-rotation fallback ``wk-%{+xxxx.ww}`` — the Logstash
+    index-name idiom (Joda x = ISO weekyear, w = weekofyear). Spark >= 3
+    BANS week-based format letters in date_format, so these tokens
+    compile to extraction expressions (functions/templates.py, r5 advice
+    fix); this row proves the executed values against DuckDB's
+    isoyear/weekofyear."""
+    df = _load(spark, sf_dir, "events")
+    op = Translate(
+        TranslateConfig(
+            source="event_type",
+            target="translation",
+            dictionary=EVENTS_DICT,
+            fallback="wk-%{+xxxx.ww}",
+            ts_field="ts",
+        ),
+        spark=spark,
+    )
+    return op.apply(df).select("event_id", "event_type", "translation", "route")
+
+
+SQL_FALLBACK_WEEKLY = f"""
+WITH {_values_cte('dict', EVENTS_DICT)}
+SELECT e.event_id, e.event_type,
+       COALESCE(d.v, 'wk-' || lpad(isoyear(e.ts)::VARCHAR, 4, '0') || '.'
+                     || lpad(weekofyear(e.ts)::VARCHAR, 2, '0')) AS translation,
+       CASE WHEN d.k IS NOT NULL THEN 'matched' ELSE 'fallback' END AS route
+FROM events e LEFT JOIN dict d ON e.event_type = d.k
+"""
+
+
 # O9 + aggregates: per-route/per-translation histogram
 def q_route_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -603,6 +634,44 @@ SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
+
+#: cap chosen to BIND on the test corpus (widest bucket is 3-4 at
+#: sf0.001/sf0.01) so the capped query's oracle row actually exercises
+#: the drop, not just the pass-through
+LSH_CAP = 2
+
+
+def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The opt-in web-scale skew guard (max_bucket) as an oracle-checked
+    behavior: buckets wider than LSH_CAP are dropped entirely, mirrored
+    in SQL with a COUNT() OVER window so both engines stay
+    value-identical at any scale (r4 advice — a Spark-only cap silently
+    diverges once real buckets exceed it). Spark's plan keeps the cap
+    sort-free: groupBy(band).count() + broadcast anti-join
+    (operators/dedup.py::_cap_buckets)."""
+    sigs = minhash_signatures(
+        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM
+    )
+    return lsh_candidate_pairs(
+        sigs, "doc_id", MINHASH_NUM, band_size=2, max_bucket=LSH_CAP
+    )
+
+
+def _sql_lsh_pairs_capped() -> str:
+    banded = SQL_LSH_PAIRS.split("banded AS (", 1)[1].rsplit(")", 1)[0]
+    head = SQL_LSH_PAIRS.split("banded AS (", 1)[0]
+    return f"""{head}banded_all AS ({banded}),
+banded AS (
+  SELECT doc_id, band_idx, band_key FROM banded_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {LSH_CAP}
+)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
+SQL_LSH_PAIRS_CAPPED = _sql_lsh_pairs_capped()
 
 
 JACCARD_KEEP_NUM = 4  # keep-threshold 4/5 = 0.8 as integer math
@@ -2032,6 +2101,7 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_events": q_exact_events,
     "fallback_dated": q_fallback_dated,
+    "fallback_weekly": q_fallback_weekly,
     "route_histogram": q_route_histogram,
     "exact_docs_lang": q_exact_docs_lang,
     "override_gate": q_override_gate,
@@ -2044,6 +2114,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "lsh_pairs": q_lsh_pairs,
+    "lsh_pairs_capped": q_lsh_pairs_capped,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "jaccard_adjacent": q_jaccard_adjacent,
@@ -2085,6 +2156,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: Dict[str, str] = {
     "exact_events": SQL_EXACT_EVENTS,
     "fallback_dated": SQL_FALLBACK_DATED,
+    "fallback_weekly": SQL_FALLBACK_WEEKLY,
     "route_histogram": SQL_ROUTE_HISTOGRAM,
     "exact_docs_lang": SQL_EXACT_DOCS_LANG,
     "override_gate": SQL_OVERRIDE_GATE,
@@ -2097,6 +2169,7 @@ ORACLES: Dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "lsh_pairs": SQL_LSH_PAIRS,
+    "lsh_pairs_capped": SQL_LSH_PAIRS_CAPPED,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "jaccard_adjacent": SQL_JACCARD_ADJACENT,
