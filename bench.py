@@ -617,7 +617,7 @@ def write_baseline_md(scaling: dict) -> None:
                     "noise; round-1's file 0.32 was the one-wave split "
                     "layout\n+ G1 + the 8→32 syscall cliff combined.\n"
                 )
-        for tag in ("r2", "r1"):
+        for tag in (ROUND_TAG, "r5", "r4", "r3", "r2", "r1"):
             micro_path = rp(f"BENCH/MICRO_{tag}.json")
             if not os.path.exists(micro_path):
                 continue
