@@ -577,7 +577,12 @@ def write_baseline_md(scaling: dict) -> None:
                 "planner-independent mechanism the north_rule asks for.)\n"
             )
         for tag, label in (
-            (ROUND_TAG, "current round"), ("r4", "round 4"),
+            (ROUND_TAG, "current round"),
+            ("r5b", "r5 confirmation run — steal-degraded window: "
+             "hypervisor steal 0.3→5.0% ramped across every local[16] "
+             "measurement (see its host map); recorded for transparency, "
+             "telemetry attributes the sub-0.8 median to host theft"),
+            ("r4", "round 4"),
             ("r3", "round 3"), ("r2", "round 2"), ("r1", "round 1")
         ):
             sweep_path = rp(f"BENCH/SWEEP_{tag}.json")
