@@ -323,6 +323,9 @@ def _scaling_view(sw: dict, reps_target: int) -> dict:
         "gen_efficiency": sw.get("gen_efficiency"),
         "pair_efficiencies": sw.get("file_pair_efficiencies", []),
         "gen_pair_efficiencies": sw.get("gen_pair_efficiencies", []),
+        "pair_steal_pct": sw.get("file_pair_steal_pct", []),
+        "efficiency_low_steal": sw.get("file_efficiency_low_steal"),
+        "low_steal_pairs": sw.get("file_low_steal_pairs"),
         "reps": sw.get("reps", reps_target),
         "partial": sw.get("partial", False),
         "stop_reason": sw.get("stop_reason"),
@@ -467,7 +470,15 @@ def write_baseline_md(scaling: dict) -> None:
             f"input (engine-isolated) = {scaling.get('gen_efficiency')}. "
             f"Per-rep same-window file-variant pairs: "
             f"{scaling['pair_efficiencies']}; gen pairs: "
-            f"{scaling.get('gen_pair_efficiencies', [])}.\n"
+            f"{scaling.get('gen_pair_efficiencies', [])}. "
+            f"Per-pair measured hypervisor steal (%): "
+            f"{scaling.get('pair_steal_pct', [])}; low-steal subset "
+            f"(≤1%, informational — the gate is the all-pairs median): "
+            f"{scaling.get('low_steal_pairs')} pairs, median "
+            f"{scaling.get('efficiency_low_steal')}. A pair whose steal "
+            "exceeds the limit still counts, but schedules one "
+            "replacement pair (≤2 extra, budget permitting) so "
+            "co-tenant theft can't starve the sample of clean windows.\n"
             + (
                 "NOTE: a value above 1.0 is NOT real superlinear scaling — "
                 "it means the\nN-sized runs landed in a noisy host window "
@@ -716,6 +727,12 @@ def _scaling_extras_from_sweep() -> None:
         "criterion_met_gen": (gen_eff >= 0.8) if gen_eff is not None else None,
         "pair_efficiencies": scaling["pair_efficiencies"],
         "gen_pair_efficiencies": scaling["gen_pair_efficiencies"],
+        # covariate context: per-pair measured hypervisor steal + the
+        # low-steal subset median (informational; the gate stays on the
+        # all-pairs median — see SWEEP artifact / BENCH/BASELINE.md)
+        "pair_steal_pct": scaling.get("pair_steal_pct", []),
+        "efficiency_low_steal": scaling.get("efficiency_low_steal"),
+        "low_steal_pairs": scaling.get("low_steal_pairs"),
         "partial": scaling["partial"],
         "stop_reason": scaling["stop_reason"],
         "skew": {
