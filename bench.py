@@ -135,6 +135,19 @@ def force(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+def _host_steal_jiffies():
+    """(steal, total) jiffies from /proc/stat — headline reps record the
+    steal fraction they ran under, so cross-round per-query comparisons
+    carry the co-tenant-theft context that explained two rounds of
+    'headline deltas were weather' (and the r5b sweep's 0.754)."""
+    try:
+        with open("/proc/stat") as fh:
+            f = [int(x) for x in fh.readline().split()[1:9]]
+        return f[7], sum(f)
+    except Exception:
+        return 0, 0
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     from logstash_filter_translate_spark.plans import queries as Q
     from logstash_filter_translate_spark.session import build_session
@@ -174,14 +187,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         force(fn(spark, sf_dir))
         warm = time.time() - t0
+        st0, tot0 = _host_steal_jiffies()
         for _ in range(3):
             t0 = time.time()
             force(fn(spark, sf_dir))
             reps.append(time.time() - t0)
+        st1, tot1 = _host_steal_jiffies()
+        steal = round(100 * (st1 - st0) / max(tot1 - tot0, 1), 2)
         all_reps[name] = {"warm": round(warm, 3),
-                          "timed": [round(x, 3) for x in reps]}
+                          "timed": [round(x, 3) for x in reps],
+                          "steal_pct": steal}
         timings[name] = round(statistics.median(reps), 3)
-        log(f"  {name}: {timings[name]}s (warm {round(warm, 3)}s)")
+        log(f"  {name}: {timings[name]}s (warm {round(warm, 3)}s, "
+            f"steal {steal}%)")
     spark.stop()
     return timings, all_reps
 
