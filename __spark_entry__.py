@@ -3,6 +3,11 @@
 entry(spark)  — flagship parse→enrich→route→aggregate query at sf0.001.
 queries()     — one entry per implemented operator (SURVEY.md §2 +
                 training-data ops), each (spark, sf_dir) -> DataFrame.
+                EXACTLY 50 entries: the driver's correctness artifact
+                records the first 50 rows, so the contract is pinned at
+                that size (tests/test_registry_contract.py); pure
+                plane/parameter variants live in Q.EXTRA_QUERIES and are
+                verified by tools/selfcheck.py + plan guards + digests.
 oracle_sql()  — DuckDB-runnable ANSI SQL equivalents over the same parquet
                 views; column names/aliases match the Spark outputs exactly.
 """

@@ -174,7 +174,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     timings = {}
     all_reps = {}
     for name in HEADLINE:
-        fn = Q.QUERIES[name]
+        fn = Q.ALL_QUERIES[name]
         # r5 protocol (round-4 judge item #3 — rep0 ran 1.5-3x rep1 in the
         # r4 driver artifact, so cross-round per-query deltas tracked
         # weather, not plans): one UNTIMED warm execution absorbs the

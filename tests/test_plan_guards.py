@@ -145,7 +145,7 @@ def test_all_contract_queries_have_no_scale_killers(spark, testdata_dir):
     MapInPandas are the sanctioned Python paths). A future edit that
     silently reintroduces any of the round-1 scale-killer shapes fails
     here, not in a judge's audit."""
-    from logstash_filter_translate_spark.plans.queries import QUERIES
+    from logstash_filter_translate_spark.plans.queries import ALL_QUERIES
 
     # streaming queries execute a full micro-batch run when built — their
     # result frame is a plain scan+agg, not worth the runtime here
@@ -160,7 +160,7 @@ def test_all_contract_queries_have_no_scale_killers(spark, testdata_dir):
     bnlj_by_design = {"similarity_topk", "similarity_ivf",
                       "similarity_ivf_probe2", "similarity_ivf_indexed"}
     offenders = {}
-    for name, fn in QUERIES.items():
+    for name, fn in ALL_QUERIES.items():
         if name in skip:
             continue
         plan = plan_of(fn(spark, testdata_dir))

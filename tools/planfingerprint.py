@@ -89,7 +89,7 @@ def fingerprints(spark, sf_dir: str) -> dict:
     from logstash_filter_translate_spark.plans import queries as Q
 
     out = {}
-    for name, fn in Q.QUERIES.items():
+    for name, fn in Q.ALL_QUERIES.items():
         if name in SKIP:
             out[name] = {"skipped": SKIP[name]}
             continue

