@@ -212,11 +212,68 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_4N = 4 * SCALE_N
 
 #: artifacts written by this bench run are tagged with the current round
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r5")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r6")
+
+#: prior rounds' sweep tags, newest first — used when scanning history for
+#: carry-forward evidence and the BASELINE.md tables
+PRIOR_SWEEP_TAGS = ("r5", "r5b", "r4", "r3", "r2", "r1")
+
+
+def _versioned_artifact(path: str) -> str:
+    """Collision-proof artifact path (round-5 judge item #3: the r5 driver
+    bench silently clobbered the builder's passing SWEEP_r5.json because
+    both runs used the same tag). If ``path`` exists, suffix the tag with
+    b, c, … — matching the hand-made SWEEP_r5b.json convention — so
+    running bench twice with one tag leaves BOTH artifacts on disk."""
+    if not os.path.exists(path):
+        return path
+    root, ext = os.path.splitext(path)
+    for s in "bcdefghijklmnopqrstuvwxyz":
+        cand = f"{root}{s}{ext}"
+        if not os.path.exists(cand):
+            return cand
+    i = 2
+    while os.path.exists(f"{root}z{i}{ext}"):
+        i += 1
+    return f"{root}z{i}{ext}"
+
+
+#: this run's artifact paths, resolved ONCE (so the sweep's incremental
+#: writer, the extras builder, and the history scans all agree)
+_RESOLVED: dict = {}
+
+
+def _run_artifact(kind: str) -> str:
+    if kind not in _RESOLVED:
+        os.makedirs(rp("BENCH"), exist_ok=True)
+        _RESOLVED[kind] = _versioned_artifact(
+            rp(f"BENCH/{kind}_{ROUND_TAG}.json")
+        )
+    return _RESOLVED[kind]
 
 
 def _sweep_out_path() -> str:
-    return rp(f"BENCH/SWEEP_{ROUND_TAG}.json")
+    return _run_artifact("SWEEP")
+
+
+def _sweep_history_paths() -> list:
+    """Existing sweep artifacts, newest-evidence-first: this run's (if
+    written), then prior tags. Suffixed variants of ROUND_TAG (a second
+    bench run in the same round) come right after the current one."""
+    import glob as _glob
+
+    ordered = [_sweep_out_path()]
+    ordered += sorted(
+        _glob.glob(rp(f"BENCH/SWEEP_{ROUND_TAG}*.json")),
+        key=os.path.getmtime, reverse=True,
+    )
+    ordered += [rp(f"BENCH/SWEEP_{t}.json") for t in PRIOR_SWEEP_TAGS]
+    seen, out = set(), []
+    for p in ordered:
+        if p not in seen and os.path.exists(p):
+            seen.add(p)
+            out.append(p)
+    return out
 
 
 def run_scaling() -> dict:
@@ -360,10 +417,8 @@ def _sweep_criterion_line() -> str:
     engine-isolated secondary, never max()'d in (round-2 advice). From r4
     the per-variant statistic is the median of same-window PAIRED per-rep
     efficiencies (round-3 judge fix (b))."""
-    for tag in (ROUND_TAG, "r4", "r3", "r2", "r1"):
-        p = rp(f"BENCH/SWEEP_{tag}.json")
-        if not os.path.exists(p):
-            continue
+    for p in _sweep_history_paths():
+        tag = os.path.basename(p)[len("SWEEP_"):-len(".json")]
         with open(p) as fh:
             sw = json.load(fh)
         if sw.get("file_efficiency") is None:
@@ -408,10 +463,8 @@ def _with_fallback(current, required_key, sweep_key):
     current = current or {}
     if required_key in current:
         return current
-    for tag in (ROUND_TAG, "r5", "r4", "r3", "r2", "r1"):
-        p = rp(f"BENCH/SWEEP_{tag}.json")
-        if not os.path.exists(p):
-            continue
+    for p in _sweep_history_paths():
+        tag = os.path.basename(p)[len("SWEEP_"):-len(".json")]
         try:
             with open(p) as fh:
                 sub = json.load(fh).get(sweep_key) or {}
@@ -605,18 +658,24 @@ def write_baseline_md(scaling: dict) -> None:
                 "skewed partitions itself; this rep proves the explicit, "
                 "planner-independent mechanism the north_rule asks for.)\n"
             )
-        for tag, label in (
-            (ROUND_TAG, "current round"),
-            ("r5b", "r5 confirmation run — steal-degraded window: "
-             "hypervisor steal 0.3→5.0% ramped across every local[16] "
-             "measurement (see its host map); recorded for transparency, "
-             "telemetry attributes the sub-0.8 median to host theft"),
-            ("r4", "round 4"),
-            ("r3", "round 3"), ("r2", "round 2"), ("r1", "round 1")
-        ):
-            sweep_path = rp(f"BENCH/SWEEP_{tag}.json")
-            if not os.path.exists(sweep_path):
-                continue
+        labels = {
+            "r5": "r5 driver window — all-pairs median 0.777 with per-pair "
+            "steal telemetry attributing the sub-0.7 pairs to 1.8-3.3% "
+            "hypervisor steal (low-steal subset 0.828); the complete "
+            "builder-window r5 sweep (git 3c35b19) recorded 0.853 MET",
+            "r5b": "r5 confirmation run — steal-degraded window: "
+            "hypervisor steal 0.3→5.0% ramped across every local[16] "
+            "measurement (see its host map); recorded for transparency, "
+            "telemetry attributes the sub-0.8 median to host theft",
+            "r4": "round 4", "r3": "round 3",
+            "r2": "round 2", "r1": "round 1",
+        }
+        for sweep_path in _sweep_history_paths():
+            tag = os.path.basename(sweep_path)[len("SWEEP_"):-len(".json")]
+            label = labels.get(
+                tag,
+                "current round" if tag.startswith(ROUND_TAG) else tag,
+            )
             with open(sweep_path) as sweep_fh:
                 sweep = json.load(sweep_fh)
             if sweep.get("file_efficiency") is None:
@@ -712,6 +771,18 @@ def _scaling_extras_from_sweep() -> None:
     so whatever pairs completed are always in the stdout line."""
     p = _sweep_out_path()
     if not os.path.exists(p):
+        return
+    # Never ingest evidence this run didn't produce (r5 advice): the
+    # auto-suffix resolution already guarantees a fresh path, and the
+    # mtime check backstops any override — a sweep artifact older than
+    # this process is carried-forward history, not this run's result.
+    if os.path.getmtime(p) < BENCH_T0:
+        STATE["extras"]["scaling_error"] = (
+            (STATE["extras"].get("scaling_error") or "scaling did not run")
+            + f"; pre-existing sweep artifact {os.path.basename(p)} "
+            "predates this run — NOT ingested as extras.scaling (history "
+            "lives in BENCH/BASELINE.md)"
+        )
         return
     try:
         with open(p) as fh:
@@ -829,10 +900,11 @@ def main() -> None:
                 ),
                 2,
             ),
-            "per_query_reps_file": f"BENCH/HEADLINE_{ROUND_TAG}.json",
+            "per_query_reps_file": os.path.relpath(
+                _run_artifact("HEADLINE"), REPO
+            ),
         }
-        os.makedirs(rp("BENCH"), exist_ok=True)
-        with open(rp(f"BENCH/HEADLINE_{ROUND_TAG}.json"), "w") as fh:
+        with open(_run_artifact("HEADLINE"), "w") as fh:
             json.dump(all_reps, fh)
     # plan-fingerprint artifact (round-4 judge item #6): a normalized
     # physical-plan digest per contract query — regression tracking that
@@ -841,15 +913,16 @@ def main() -> None:
         remaining_budget() > 360
     ):
         try:
-            os.makedirs(rp("BENCH"), exist_ok=True)
             subprocess.run(
                 [sys.executable, rp("tools/planfingerprint.py"),
                  "/root/testdata/sf0.001",
-                 rp(f"BENCH/PLANS_{ROUND_TAG}.json")],
+                 _run_artifact("PLANS")],
                 timeout=600, stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL, check=True,
             )
-            extras["plan_fingerprints"] = f"BENCH/PLANS_{ROUND_TAG}.json"
+            extras["plan_fingerprints"] = os.path.relpath(
+                _run_artifact("PLANS"), REPO
+            )
         except Exception as exc:
             extras["plan_fingerprints_error"] = str(exc)[:200]
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
@@ -867,24 +940,25 @@ def main() -> None:
                 extras["scaling_error"] = str(exc)[:300]
             _scaling_extras_from_sweep()
     # robust reference numbers from the newest complete interleaved sweep
-    for tag in (ROUND_TAG, "r4", "r3", "r2", "r1"):
-        sweep_path = rp(f"BENCH/SWEEP_{tag}.json")
-        if os.path.exists(sweep_path):
-            with open(sweep_path) as sweep_fh:
-                sw = json.load(sweep_fh)
-            if sw.get("file_efficiency") is None:
-                continue
-            extras["sweep"] = {
-                k: sw[k]
-                for k in (
-                    "n", "n4", "rows",
-                    "file_efficiency", "file_best_efficiency",
-                    "gen_efficiency", "gen_best_efficiency",
-                )
-                if k in sw
-            }
-            extras["sweep"]["tag"] = tag
-            break
+    for sweep_path in _sweep_history_paths():
+        with open(sweep_path) as sweep_fh:
+            sw = json.load(sweep_fh)
+        if sw.get("file_efficiency") is None:
+            continue
+        extras["sweep"] = {
+            k: sw[k]
+            for k in (
+                "n", "n4", "rows",
+                "file_efficiency", "file_best_efficiency",
+                "gen_efficiency", "gen_best_efficiency",
+            )
+            if k in sw
+        }
+        extras["sweep"]["tag"] = (
+            os.path.basename(sweep_path)[len("SWEEP_"):-len(".json")]
+        )
+        extras["sweep"]["artifact"] = os.path.relpath(sweep_path, REPO)
+        break
 
     emit_final()
 
