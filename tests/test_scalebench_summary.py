@@ -68,3 +68,19 @@ def test_pair_steal_takes_max_of_both_sizes():
     assert _pair_steal(host, "file", 4, 16, 0) == 1.5
     assert _pair_steal(host, "file", 4, 16, 1) == 2.0
     assert _pair_steal(host, "file", 4, 16, 9) == 0.0  # out of range
+
+
+def test_gen_reserve_gates_second_and_later_replacements():
+    """r6 budget rule: base pairs and the first replacement need only the
+    pair itself; replacement #2+ must also leave room for 2 gen pairs."""
+    from tools.scalebench import _pair_budget_need
+
+    est = 300.0
+    base = 5
+    plain = est * 1.1
+    reserved = plain + 2 * est * 1.3
+    for rep in range(base):  # base pairs: no reserve
+        assert _pair_budget_need(rep, base, est) == plain
+    assert _pair_budget_need(base, base, est) == plain  # 1st replacement
+    assert _pair_budget_need(base + 1, base, est) == reserved
+    assert _pair_budget_need(base + 3, base, est) == reserved
