@@ -37,8 +37,29 @@ def html_str(html_bin: Column) -> Column:
     which at corpus scale is pure memory-bandwidth burn — measured ~15%
     slower on the 40M-row parse path at every parallelism level (r5 A/B).
     Spark's internal string type IS UTF-8 bytes, so for UTF-8 input the
-    two are value-identical (asserted over the corpus generator)."""
+    two are value-identical (asserted over the corpus generator).
+
+    PRECONDITION (r5 advice): the input must be VALID UTF-8. ``cast``
+    wraps raw bytes while ``decode`` substitutes U+FFFD for malformed
+    sequences, so on non-UTF-8 input the two silently diverge. The
+    generated corpus guarantees validity by construction (html is
+    ``F.encode(string, 'UTF-8')``); for an UNTRUSTED external crawl use
+    :func:`html_str_untrusted` at the ingest seam instead — valid rows
+    still take this zero-copy path, malformed rows fall back to the
+    charset-converting decode."""
     return html_bin.cast("string")
+
+
+def html_str_untrusted(html_bin: Column) -> Column:
+    """binary → string for sources that may carry malformed UTF-8 (real
+    crawl data): ``make_valid_utf8`` returns valid input UNCHANGED (the
+    zero-copy wrap survives) and substitutes U+FFFD for malformed
+    sequences — the reference's charset-converting behavior, without the
+    ANSI-mode ``decode`` throw ([MALFORMED_CHARACTER_CODING]). Fully
+    codegen'd; the validity scan costs only at the ingest seam — internal
+    stages keep the plain :func:`html_str` fast path because everything
+    downstream of this seam is valid by construction."""
+    return F.make_valid_utf8(html_bin.cast("string"))
 
 
 def extract_text_from_str(s: Column) -> Column:

@@ -11,6 +11,7 @@ must agree exactly.
 from __future__ import annotations
 
 import os
+import time
 
 from typing import Callable, Dict
 
@@ -117,6 +118,31 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
+def _pid_started_after(pid: int, ts: float) -> bool:
+    """True when /proc says ``pid`` started AFTER timestamp ``ts`` — i.e.
+    a live pid that post-dates a scratch dir's mtime is a RECYCLED pid of
+    an unrelated process, not the dir's creator (r5 advice: os.kill(pid,
+    0) alone leaks the dir until reboot in that case). Conservative on
+    any read failure: returns False (treat the pid as the owner)."""
+    try:
+        with open(f"/proc/{pid}/stat") as fh:
+            parts = fh.read().rsplit(")", 1)[1].split()
+        start_jiffies = int(parts[19])  # field 22 (starttime), 0-based 19
+        with open("/proc/uptime") as fh:
+            uptime = float(fh.read().split()[0])
+        boot = time.time() - uptime
+        start = boot + start_jiffies / os.sysconf("SC_CLK_TCK")
+        return start > ts + 2.0  # slack for clock/jiffy rounding
+    except Exception:
+        return False
+
+
+#: scratch dirs this process already registered an atexit cleanup for —
+#: re-entering the same (tag, sf_dir) must not stack duplicate handlers
+#: (r5 advice)
+_SCRATCH_REGISTERED: set = set()
+
+
 def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
     """Deterministic per-(query, input, process) scratch dir for the
     streaming queries, wiped fresh on each invocation. os.getpid() in the
@@ -124,7 +150,9 @@ def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
     each other's in-flight sink/checkpoint (round-3 advice); the pid
     suffix would otherwise accumulate one dir per past run (round-4
     advice), so each call (a) registers an atexit cleanup of its own dir
-    and (b) sweeps stale siblings whose creator pid is no longer alive."""
+    — once per path, not per call — and (b) sweeps stale siblings whose
+    creator pid is dead OR provably recycled (a live pid that started
+    after the dir's mtime cannot be its creator)."""
     import atexit
     import hashlib
     import shutil
@@ -140,18 +168,28 @@ def _stream_scratch_dir(tag: str, sf_dir: str) -> str:
             pid_s = name[len(prefix):]
             if not pid_s.isdigit() or int(pid_s) == os.getpid():
                 continue
+            sib = os.path.join(base, name)
             try:
-                os.kill(int(pid_s), 0)  # alive → leave its dir alone
+                os.kill(int(pid_s), 0)  # raises if dead
+                # alive — but a pid recycled by an unrelated process
+                # still marks the dir stale (compare dir mtime vs the
+                # live pid's start time)
+                if _pid_started_after(int(pid_s), os.path.getmtime(sib)):
+                    shutil.rmtree(sib, ignore_errors=True)
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+                shutil.rmtree(sib, ignore_errors=True)
             except PermissionError:
                 pass  # alive under another uid
+            except OSError:
+                pass
     except OSError:
         pass
     path = os.path.join(base, f"{prefix}{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path)
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    if path not in _SCRATCH_REGISTERED:
+        _SCRATCH_REGISTERED.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return path
 
 
@@ -614,14 +652,13 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
 
 
-SQL_LSH_PAIRS = f"""
-WITH {_SQL_SHINGLE_HASH},
-sig AS (
-  SELECT d.doc_id, {_sql_minhash_cols()}
-  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
-  GROUP BY d.doc_id
-),
-banded AS (
+def _sql_lsh_pairs(cap: "int | None" = None) -> str:
+    """ONE template for the uncapped and capped LSH-pair oracles (r5
+    advice: the capped SQL used to be derived by string surgery on the
+    uncapped text — any future ')' in the final SELECT would silently
+    corrupt it). The QUALIFY bucket-width cap is an optional slot; both
+    constants below are rendered from this function."""
+    banded_body = """
   SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
   UNION ALL
   SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
@@ -629,11 +666,33 @@ banded AS (
   SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
   UNION ALL
   SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
-)
+"""
+    if cap is None:
+        banded_ctes = f"banded AS ({banded_body})"
+    else:
+        banded_ctes = (
+            f"banded_all AS ({banded_body}),\n"
+            "banded AS (\n"
+            "  SELECT doc_id, band_idx, band_key FROM banded_all\n"
+            "  QUALIFY COUNT(*) OVER "
+            f"(PARTITION BY band_idx, band_key) <= {cap}\n"
+            ")"
+        )
+    return f"""
+WITH {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+{banded_ctes}
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM banded l JOIN banded r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
 """
+
+
+SQL_LSH_PAIRS = _sql_lsh_pairs()
 
 #: cap chosen to BIND on the test corpus (widest bucket is 3-4 at
 #: sf0.001/sf0.01) so the capped query's oracle row actually exercises
@@ -657,21 +716,7 @@ def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_lsh_pairs_capped() -> str:
-    banded = SQL_LSH_PAIRS.split("banded AS (", 1)[1].rsplit(")", 1)[0]
-    head = SQL_LSH_PAIRS.split("banded AS (", 1)[0]
-    return f"""{head}banded_all AS ({banded}),
-banded AS (
-  SELECT doc_id, band_idx, band_key FROM banded_all
-  QUALIFY COUNT(*) OVER (PARTITION BY band_idx, band_key) <= {LSH_CAP}
-)
-SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-FROM banded l JOIN banded r
-  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-"""
-
-
-SQL_LSH_PAIRS_CAPPED = _sql_lsh_pairs_capped()
+SQL_LSH_PAIRS_CAPPED = _sql_lsh_pairs(LSH_CAP)
 
 
 JACCARD_KEEP_NUM = 4  # keep-threshold 4/5 = 0.8 as integer math

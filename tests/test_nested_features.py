@@ -289,3 +289,35 @@ def test_array_index_no_array_level_raises_plan_time(spark):
     df = spark.createDataFrame([(1, "scalar")], "id int, a string")
     with pytest.raises(ValueError, match="array index"):
         with_path(df, parse_path("[a][0]"), F.lit("X"))
+
+
+def test_html_str_untrusted_handles_malformed_utf8(spark):
+    """r5 advice: cast('string') is only value-identical to decode for
+    valid UTF-8. The untrusted-ingest variant must (a) equal the fast
+    path byte-for-byte on valid input and (b) substitute U+FFFD on
+    malformed bytes instead of silently wrapping them."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_translate_spark.functions.html import (
+        html_str,
+        html_str_untrusted,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray("héllo <p>ok</p>".encode("utf-8"))),
+         (2, bytearray(b"\xff\xfe broken \x80"))],
+        "id int, html binary",
+    )
+    out = (
+        df.select(
+            "id",
+            html_str(F.col("html")).alias("fast"),
+            html_str_untrusted(F.col("html")).alias("safe"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert out[0]["safe"] == out[0]["fast"] == "héllo <p>ok</p>"
+    # malformed: decode substitutes U+FFFD; the raw-wrap fast path differs
+    assert "�" in out[1]["safe"]
+    assert " broken " in out[1]["safe"]
