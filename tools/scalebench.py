@@ -37,12 +37,20 @@ r4 driver bench died rc=124 holding a passing median it never wrote):
 Round-6 protocol additions (round-5 judge item #1 — the r5 driver window
 burned its whole budget on 7 file pairs, recorded 0.777 with ZERO gen
 pairs, and skipped the side evidence):
-  - each phase opens with one DISCARDED full-corpus 4N scan primer
-    (pre-registered, unconditional, recorded): the first wide run of a
-    phase recurrently lands ~2x low with clean telemetry;
-  - steal-replacement cap raised to 4, but the 2nd and later replacement
-    pairs must leave budget for ≥2 gen pairs — the engine-attributable
-    gen number outranks extra file pairs once the base sample is whole.
+  - each phase opens with one DISCARDED 4N primer (pre-registered,
+    unconditional, recorded): the first wide run of a phase recurrently
+    lands ~2x low with clean telemetry (r5 file rep0 0.501, scan rep0
+    0.368, r6a skew rep0 1.15x vs 2.66x);
+  - phase ORDER is base file pairs → gen pairs → replacement file pairs:
+    the ≥2 gen pairs are reserved by construction (a steal-heavy window
+    starved them in BOTH the r5 driver run and the r6a builder run when
+    they ran last), and replacements for steal-flagged pairs (cap 4,
+    covariate-based) become bonus criterion pairs with the leftover;
+  - 32M rows (was 40M, round-5 judge item #1c): timed runs ~160 s at
+    local[4] / ~45-50 s at local[16] — the shorter pair is what fits
+    base + gen + replacements + skew + scan in one driver window; the
+    old 60 s floor's noise-burst protection is carried by the paired
+    statistic, the steal telemetry, and the primers.
 """
 
 from __future__ import annotations
@@ -233,18 +241,6 @@ class BudgetExhausted(Exception):
     from the pairs completed so far instead of dying with nothing."""
 
 
-def _pair_budget_need(rep: int, base_reps: int, est: float) -> float:
-    """Wall-clock needed before starting file pair ``rep``: the pair
-    itself (est × 1.1 slack), PLUS a reserve for ≥2 gen pairs (est × 1.3
-    each — gen pays in-plan generation) once the pair is the SECOND or
-    later steal-replacement (round-5 judge item #1b: the engine-isolated
-    gen number outranks extra file pairs once the base sample + one
-    replacement are in). Base pairs (rep < base_reps) and the first
-    replacement carry no reserve."""
-    need = est * 1.1
-    if rep >= base_reps + 1:
-        need += 2 * est * 1.3
-    return need
 
 
 #: steal threshold separating clean windows (≤0.2% observed) from
@@ -429,31 +425,35 @@ def sweep(
                       f"{pr['sec']}s", file=sys.stderr, flush=True)
             except Exception as exc:  # a failed primer must not sink reps
                 state["primer"] = {"discarded": True, "error": str(exc)[:200]}
-        # phase 1: ALL file pairs (the criterion statistic) first
-        rep, target = 0, reps
-        while rep < target:
+        # phase 1: the BASE file pairs (the criterion sample). Steal-
+        # flagged pairs still count in the median but queue a replacement
+        # for phase 3 — replacements run AFTER the gen pairs (r6: in the
+        # r5 and r6a driver-window runs, file-pair cost consumed the
+        # whole budget and the gen pairs recorded nothing; ordering the
+        # gen pairs before the bonus file pairs reserves them by
+        # construction, per round-5 judge item #1b).
+        pending = 0  # steal-flagged pairs awaiting a replacement
+        rep = 0
+        early_stopped = False
+        for rep_i in range(reps):
             est = pair_cost["file"] or 0.0  # first pair always runs
-            need = _pair_budget_need(rep, reps, est)
-            if est and remaining() < need:
+            if est and remaining() < est * 1.1:
                 state["stop_reason"] = (
-                    f"budget: {remaining():.0f}s left < "
-                    f"{'replacement+gen-reserve' if rep >= reps + 1 else 'est'}"
-                    f" {need:.0f}s"
+                    f"budget: {remaining():.0f}s left < est {est:.0f}s/pair"
                 )
-                # base pairs complete -> the criterion sample is whole;
-                # only mark partial when base pairs were cut
-                state["partial"] = rep < reps
+                state["partial"] = True  # base sample cut short
                 break
             t0 = time.time()
             one_pair("file", rep)
             pair_cost["file"] = time.time() - t0
             st = _pair_steal(host, "file", n, n4, rep)
+            rep += 1
             if st > STEAL_LIMIT_PCT and extra_left > 0:
-                target += 1
+                pending += 1
                 extra_left -= 1
-                print(f"rep{rep} steal {st}% > {STEAL_LIMIT_PCT}% — "
-                      f"scheduling a replacement pair ({target} total)",
-                      file=sys.stderr, flush=True)
+                print(f"rep{rep - 1} steal {st}% > {STEAL_LIMIT_PCT}% — "
+                      f"replacement pair queued after gen "
+                      f"({pending} pending)", file=sys.stderr, flush=True)
             s = checkpoint()
             running_medians.append(s["file_efficiency"])
             if (
@@ -463,24 +463,52 @@ def sweep(
             ):
                 state["stop_reason"] = (
                     f"early-stop: running median stable at "
-                    f"{running_medians[-1]} after {rep + 1} pairs"
+                    f"{running_medians[-1]} after {rep} pairs"
                 )
+                early_stopped = True
                 break
-            rep += 1
-        # phase 2: gen pairs (engine-isolated secondary), budget permitting
+        # phase 2: gen pairs (engine-isolated secondary) — BEFORE any
+        # replacement file pair, so a steal-heavy window can never starve
+        # them again (absent from BENCH_r05.json AND the r6a builder run)
         gen_est = (pair_cost["file"] or 0.0) * 1.3  # gen pays generation
-        for rep in range(gen_reps):
+        for grep in range(gen_reps):
             est = pair_cost["gen"] or gen_est
             if est and remaining() < est * 1.1:
                 state["stop_reason"] = (
                     (state["stop_reason"] or "")
-                    + f"; gen stopped on budget after {rep} pairs"
+                    + f"; gen stopped on budget after {grep} pairs"
                 )
                 state["partial"] = True
                 break
             t0 = time.time()
-            one_pair("gen", rep)
+            one_pair("gen", grep)
             pair_cost["gen"] = time.time() - t0
+            checkpoint()
+        # phase 3: replacement file pairs for the steal-flagged ones —
+        # bonus criterion pairs with whatever budget remains (≤ the
+        # extra-reps cap including flags raised by replacements
+        # themselves). Skipped entirely after an early-stop (the median
+        # is already stable).
+        while pending > 0 and not early_stopped:
+            est = pair_cost["file"] or 0.0
+            if est and remaining() < est * 1.1:
+                state["stop_reason"] = (
+                    (state["stop_reason"] or "")
+                    + f"; {pending} replacement pair(s) skipped on budget"
+                )
+                break
+            t0 = time.time()
+            one_pair("file", rep)
+            pair_cost["file"] = time.time() - t0
+            st = _pair_steal(host, "file", n, n4, rep)
+            rep += 1
+            pending -= 1
+            if st > STEAL_LIMIT_PCT and extra_left > 0:
+                pending += 1
+                extra_left -= 1
+                print(f"rep{rep - 1} steal {st}% > {STEAL_LIMIT_PCT}% — "
+                      f"another replacement queued ({pending} pending)",
+                      file=sys.stderr, flush=True)
             checkpoint()
     except BudgetExhausted as exc:
         state["partial"] = True
@@ -498,7 +526,12 @@ def scan_run(cpus: int, rows: int, path: str) -> dict:
     own scaling so the sweep's file-vs-gen gap is decomposable. First
     execution is timed (a repeat execution of the same aggregate returned
     in milliseconds — JVM-side result reuse — so warmup uses a different
-    column set)."""
+    column set). The timed query reads the corpus TWICE (self-union, r6):
+    a single pass was 12-17 s at 4N — inside single host-noise bursts
+    (the r6a window recorded scan pair efficiencies of 0.695 and 0.192
+    back-to-back) — and doubling the pass count lifts the timed span
+    without inventing a second corpus; throughput is per scanned row so
+    the ratio semantics are unchanged."""
     os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
     from logstash_filter_translate_spark.session import build_session
 
@@ -514,13 +547,17 @@ def scan_run(cpus: int, rows: int, path: str) -> dict:
     )
     df = spark.read.parquet(path)
     df.selectExpr("sum(length(url))").collect()  # JVM/codegen warm
+    passes = 2
+    doubled = df
+    for _ in range(passes - 1):
+        doubled = doubled.union(df)
     with HostMeter(spark, cpus) as hm:
         t0 = time.time()
-        df.selectExpr(
+        doubled.selectExpr(
             "sum(length(html) + 0)", "avg(length(text))"
         ).collect()
         elapsed = time.time() - t0
-    rows_read = df.count()
+    rows_read = df.count() * passes
     spark.stop()
     return {
         "cpus": cpus,
@@ -653,6 +690,18 @@ def skew_sweep(rows: int, cpus: int, reps: int) -> dict:
     reports the per-rep pairs and median speedup — the north_rule's 'skew
     handled explicitly' as a measured before/after."""
     results: dict = {"plain": [], "salted": []}
+    # discarded quarter-size primer — the first wide run of a phase lands
+    # ~2x low (r6a: skew rep0 speedup 1.15x with BOTH variants slow vs
+    # 2.66x for rep1); always run, always discarded
+    primer = None
+    if os.environ.get("SPARK_GRAFT_PHASE_PRIMER", "1") != "0":
+        try:
+            primer = {"discarded": True, **_subprocess_run(
+                ["run_skew", str(cpus), str(max(rows // 4, 1)), "plain"],
+                timeout=600,
+            )}
+        except Exception as exc:
+            primer = {"discarded": True, "error": str(exc)[:200]}
     for rep in range(reps):
         for variant in ("plain", "salted"):
             r = _subprocess_run(
@@ -673,6 +722,7 @@ def skew_sweep(rows: int, cpus: int, reps: int) -> dict:
         "salted_sec": results["salted"],
         "pair_speedups": speedups,
         "median_speedup": round(statistics.median(speedups), 3),
+        **({"primer": primer} if primer else {}),
     }
 
 
