@@ -697,6 +697,11 @@ def write_baseline_md(scaling: dict) -> None:
                 "planner-independent mechanism the north_rule asks for.)\n"
             )
         labels = {
+            "r6a": "r6 builder protocol-validation run (40M rows, "
+            "pre-reorder): primer fixed rep0 (0.791 vs r5's 0.501) and "
+            "low-steal median hit 0.855, but file-pair cost starved the "
+            "gen pairs — led to protocol v2 (32M rows, gen before "
+            "replacements)",
             "r5": "r5 driver window — all-pairs median 0.777 with per-pair "
             "steal telemetry attributing the sub-0.7 pairs to 1.8-3.3% "
             "hypervisor steal (low-steal subset 0.828); the complete "
