@@ -317,13 +317,15 @@ def run_scaling() -> dict:
     os.makedirs(rp("BENCH"), exist_ok=True)
     # leave headroom for skew/scan side phases + final writes; the sweep
     # itself also stops pairs that won't fit its own budget, and orders
-    # its phases base-file -> gen -> replacements so the gen pairs are
-    # reserved by construction (r6). Measured side-phase costs: skew
-    # ~80 s/rep, scan ~95 s/rep — the 300 s hold-back plus the sweep's
-    # own underrun funds them in the expected (low-steal) case; under
-    # heavy steal the replacements win and the side phases carry forward
-    # with a source label.
-    sweep_budget = max(300.0, remaining_budget() - 300.0)
+    # its phases base-file -> gen -> replacements -> bonus so the gen
+    # pairs are reserved by construction (r6). Measured side-phase costs:
+    # skew 2 reps + primer ~170 s, scan 2 reps + primer ~210 s — the r6
+    # 12:40 run proved a 300 s hold-back funds only ONE of them (skew ran,
+    # scan skipped with 114 s left), so r6b holds back 450 s: both side
+    # phases plus final writes fit even when the sweep's bonus phase
+    # consumes its budget to the floor. Under heavy steal the replacements
+    # win and the side phases carry forward with a source label.
+    sweep_budget = max(300.0, remaining_budget() - 450.0)
     cmd = [
         sys.executable, os.path.join(REPO, "tools", "scalebench.py"),
         "sweep", str(PAGES_ROWS), str(reps), str(SCALE_N), str(SCALE_4N),

@@ -129,3 +129,38 @@ def test_sweep_without_steal_runs_no_replacements(monkeypatch):
     modes = [c[3] for c in calls if c[0] == "run"]
     assert modes == ["file"] * 4 + ["gen"] * 2, modes
     assert s["file_reps"] == 2 and s["gen_reps"] == 1
+
+
+def test_budgeted_clean_sweep_spends_leftover_on_bonus_pairs(monkeypatch):
+    """r6b phase 4: a budgeted sweep in a CLEAN window (no steal flags,
+    so no replacements) spends its leftover budget on ONE bonus gen pair
+    (a 2-sample gen median is one bad window away from failing) and then
+    up to 3 bonus file pairs — all counted in their criterion medians.
+    Unbudgeted sweeps (the two tests above) run exactly the requested
+    reps: the bonus phase requires an explicit finite budget."""
+    from tools import scalebench as sb
+
+    calls = []
+
+    def fake(args, timeout=0):
+        calls.append(tuple(args))
+        if args[0] == "run_scan":
+            return {"cpus": int(args[1]), "sec": 0.1,
+                    "rows_per_sec": 1e6, "steal_pct": 0.0,
+                    "host_busy_pct": 10.0, "jvm_util": 1.0}
+        return {"cpus": int(args[1]), "mode": args[3], "rows": int(args[2]),
+                "sec": 1.0, "pages_per_sec": 1000.0 * int(args[1]),
+                "steal_pct": 0.0, "host_busy_pct": 10.0, "jvm_util": 1.0}
+
+    monkeypatch.setattr(sb, "_subprocess_run", fake)
+    s = sb.sweep(1000, 2, "/nonexistent", 4, 16, gen_reps=2,
+                 out_path=None, budget_s=10_000.0)
+
+    modes = [c[3] for c in calls if c[0] == "run"]
+    # base: 2 file pairs, 2 gen pairs; bonus: 1 gen pair then 3 file pairs
+    assert modes == (["file"] * 4 + ["gen"] * 4
+                     + ["gen"] * 2 + ["file"] * 6), modes
+    assert s["bonus"] == {"gen": 1, "file": 3}
+    assert s["file_reps"] == 5 and s["gen_reps"] == 3
+    assert s["gen_rows"] == 1000  # min(rows, SPARK_GRAFT_GEN_ROWS)
+    assert s["partial"] is False
