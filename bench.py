@@ -266,6 +266,47 @@ def _sweep_out_path() -> str:
     return _run_artifact("SWEEP")
 
 
+#: hand-written stories for specific past sweep windows (BASELINE.md
+#: history tables); any other tag falls through _history_label.
+_HISTORY_LABELS = {
+    "r6": "r6 12:40 builder window (protocol v2, 32M rows): file "
+    "0.793 / low-steal 0.881 / gen 0.751 — three of six pairs "
+    ">1% steal and gen16 window-contended at flat gen4; priced "
+    "the pair cost → protocol v2b (1/16 warmups, 24M gen pairs, "
+    "budget-based bonus phase)",
+    "r6a": "r6 builder protocol-validation run (40M rows, "
+    "pre-reorder): primer fixed rep0 (0.791 vs r5's 0.501) and "
+    "low-steal median hit 0.855, but file-pair cost starved the "
+    "gen pairs — led to protocol v2 (32M rows, gen before "
+    "replacements)",
+    "r5": "r5 driver window — all-pairs median 0.777 with per-pair "
+    "steal telemetry attributing the sub-0.7 pairs to 1.8-3.3% "
+    "hypervisor steal (low-steal subset 0.828); the complete "
+    "builder-window r5 sweep (git 3c35b19) recorded 0.853 MET",
+    "r5b": "r5 confirmation run — steal-degraded window: "
+    "hypervisor steal 0.3→5.0% ramped across every local[16] "
+    "measurement (see its host map); recorded for transparency, "
+    "telemetry attributes the sub-0.8 median to host theft",
+    "r4": "round 4", "r3": "round 3",
+    "r2": "round 2", "r1": "round 1",
+}
+
+
+def _history_label(tag: str, current_label_used: bool) -> str:
+    """Label a sweep tag for the BASELINE.md history tables. Only the
+    NEWEST unstoried same-round sweep is "current round"; older suffixed
+    siblings keep their tag — auto-suffixed collisions (r6, r6b, …) must
+    not produce duplicate "current round" section headers."""
+    label = _HISTORY_LABELS.get(tag)
+    if label is not None:
+        return label
+    if tag.startswith(ROUND_TAG):
+        if current_label_used:
+            return f"{tag} — earlier window this round"
+        return "current round"
+    return tag
+
+
 def _sweep_history_paths() -> list:
     """Existing sweep artifacts, newest-evidence-first: this run's (if
     written), then prior tags. Suffixed variants of ROUND_TAG (a second
@@ -698,33 +739,16 @@ def write_baseline_md(scaling: dict) -> None:
                 "skewed partitions itself; this rep proves the explicit, "
                 "planner-independent mechanism the north_rule asks for.)\n"
             )
-        labels = {
-            "r6a": "r6 builder protocol-validation run (40M rows, "
-            "pre-reorder): primer fixed rep0 (0.791 vs r5's 0.501) and "
-            "low-steal median hit 0.855, but file-pair cost starved the "
-            "gen pairs — led to protocol v2 (32M rows, gen before "
-            "replacements)",
-            "r5": "r5 driver window — all-pairs median 0.777 with per-pair "
-            "steal telemetry attributing the sub-0.7 pairs to 1.8-3.3% "
-            "hypervisor steal (low-steal subset 0.828); the complete "
-            "builder-window r5 sweep (git 3c35b19) recorded 0.853 MET",
-            "r5b": "r5 confirmation run — steal-degraded window: "
-            "hypervisor steal 0.3→5.0% ramped across every local[16] "
-            "measurement (see its host map); recorded for transparency, "
-            "telemetry attributes the sub-0.8 median to host theft",
-            "r4": "round 4", "r3": "round 3",
-            "r2": "round 2", "r1": "round 1",
-        }
+        current_label_used = False
         for sweep_path in _sweep_history_paths():
             tag = os.path.basename(sweep_path)[len("SWEEP_"):-len(".json")]
-            label = labels.get(
-                tag,
-                "current round" if tag.startswith(ROUND_TAG) else tag,
-            )
+            label = _history_label(tag, current_label_used)
             with open(sweep_path) as sweep_fh:
                 sweep = json.load(sweep_fh)
             if sweep.get("file_efficiency") is None:
                 continue
+            if label == "current round":
+                current_label_used = True
             sn, sn4 = sweep.get("n", 8), sweep.get("n4", 32)
             gen_row = (
                 f"| generated input (no FS reads) | "

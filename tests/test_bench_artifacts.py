@@ -63,3 +63,21 @@ def test_fresh_sweep_artifact_is_ingested(tmp_path, monkeypatch):
     sc = bench.STATE["extras"]["scaling"]
     assert sc["criterion_met_file"] is True
     assert sc["efficiency_n_to_4n_paired_median"] == 0.85
+
+
+def test_history_label_marks_only_the_newest_same_round_sweep_current():
+    """Auto-suffixed same-round sweeps (SWEEP_r6.json, SWEEP_r6b.json, …)
+    must not all render as "current round" in BASELINE.md — that produced
+    duplicate section headers in the r6b working tree. Only the newest
+    unstoried tag is current; siblings keep their tag."""
+    tag_new = bench.ROUND_TAG + "zz"  # never in _HISTORY_LABELS
+    tag_old = bench.ROUND_TAG + "zy"
+    assert bench._history_label(tag_new, False) == "current round"
+    assert (
+        bench._history_label(tag_old, True)
+        == f"{tag_old} — earlier window this round"
+    )
+    # storied tags always keep their story, newest or not
+    assert bench._history_label("r4", False) == "round 4"
+    # prior-round unstoried tags fall through to the bare tag
+    assert bench._history_label("r0x", False) == "r0x"
