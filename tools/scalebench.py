@@ -46,11 +46,14 @@ pairs, and skipped the side evidence):
     starved them in BOTH the r5 driver run and the r6a builder run when
     they ran last), and replacements for steal-flagged pairs (cap 4,
     covariate-based) become bonus criterion pairs with the leftover;
-  - 32M rows (was 40M, round-5 judge item #1c): timed runs ~160 s at
-    local[4] / ~45-50 s at local[16] — the shorter pair is what fits
-    base + gen + replacements + skew + scan in one driver window; the
-    old 60 s floor's noise-burst protection is carried by the paired
-    statistic, the steal telemetry, and the primers.
+  - 24M rows for BOTH file and gen pairs (v2c; was 40M pre-r5, 32M in
+    v2/v2b — round-5 judge item #1c, then the v2b budget re-plan):
+    timed runs ~115 s at local[4] / ~40 s at local[16] — the shorter
+    pair is what fits base + gen + replacements + bonus + skew + scan
+    in one driver window (skew keeps 32M: the salted/plain contrast
+    drowns below that); the old 60 s floor's noise-burst protection is
+    carried by the paired statistic, the steal telemetry, and the
+    primers.
 """
 
 from __future__ import annotations
