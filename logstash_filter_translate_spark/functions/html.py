@@ -95,6 +95,23 @@ def extract_text_arrow(html: pd.Series) -> pd.Series:
     return html.map(one)
 
 
+@pandas_udf(T.StringType())
+def extract_text_arrow_untrusted(html: pd.Series) -> pd.Series:
+    """Arrow extraction plane for untrusted bytes: malformed UTF-8 decodes
+    with U+FFFD substitution (``errors='replace'``) — the Python twin of
+    :func:`html_str_untrusted`'s make_valid_utf8 — instead of raising
+    UnicodeDecodeError inside the worker."""
+    pat = re.compile(_TEXT_RE)
+
+    def one(b):
+        if b is None:
+            return None
+        m = pat.search(bytes(b).decode("utf-8", errors="replace"))
+        return m.group(1) if m and m.group(1) else None
+
+    return html.map(one)
+
+
 def extract_status(html_bin: Column) -> Column:
     x = F.regexp_extract(html_str(html_bin), _STATUS_RE, 1)
     return F.when(x != "", x)
