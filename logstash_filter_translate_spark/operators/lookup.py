@@ -307,14 +307,22 @@ class ExactFrameJoin(ExactBroadcastJoin):
     dictionary is itself a table (a parquet/Iceberg dimension, a derived
     frame), possibly too large to hold on the driver at all.
 
-    ``broadcast=True`` (default) forces the broadcast-hash-join plane
-    (the dictionary fits executor memory: up to ~hundreds of MB).
-    ``broadcast=False`` defers the join strategy to Catalyst+AQE: a
-    small dimension still broadcasts at runtime; a genuinely huge
-    dictionary shuffle-plans (hash/sort-merge) — the only plane that
-    works when neither side fits one machine. Duplicate keys are
-    resolved deterministically (lowest value wins) to keep the
-    one-value-per-key dictionary contract.
+    ``broadcast`` is three-state:
+      * ``True`` (default) — force the broadcast-hash-join plane (the
+        dictionary fits executor memory: up to ~hundreds of MB).
+      * ``None`` — defer the join strategy to Catalyst+AQE: a small
+        dimension still broadcasts at runtime; a huge one shuffle-plans
+        on AQE's measured sizes.
+      * ``False`` — the dictionary is DECLARED beyond broadcast (fits no
+        single machine): the dict side carries a merge join hint, so the
+        pinned plan is a genuine shuffle (sort-merge) join at any data
+        size — the plane a 10^9-entry dictionary runs, testable without
+        materializing one. The hint survives AQE re-planning (verified
+        in the pinned digest), exactly how a production job pins the
+        strategy for a known-huge dimension whose size estimate can't be
+        trusted not to OOM a broadcast.
+    Duplicate keys are resolved deterministically (lowest value wins) to
+    keep the one-value-per-key dictionary contract.
     """
 
     def __init__(
@@ -322,7 +330,7 @@ class ExactFrameJoin(ExactBroadcastJoin):
         dict_df: DataFrame,
         key_col: str,
         value_col: str,
-        broadcast: bool = True,
+        broadcast: Optional[bool] = True,
     ):
         value_field = dict_df.schema[value_col]
         self.value_type = value_field.dataType
@@ -336,10 +344,12 @@ class ExactFrameJoin(ExactBroadcastJoin):
             .groupBy("__lfts_k")
             .agg(F.min("__lfts_v").alias("__lfts_v"))
         )
+        if broadcast is False:
+            dedup = dedup.hint("merge")
         self.dict_df = dedup
 
     def join(self, df: DataFrame, key: Column, result_col: str) -> DataFrame:
-        if self.broadcast:
+        if self.broadcast is True:
             return super().join(df, key, result_col)
         probe = df.withColumn("__lfts_key", key)
         joined = probe.join(
