@@ -305,6 +305,7 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: Optional[int] = None,
+    dim: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate (id_a, id_b) pairs by embedding cosine ≥ threshold,
     candidate generation via hyperplane-LSH buckets — NOT all-pairs.
@@ -324,6 +325,10 @@ def embedding_cosine_pairs(
     groupBy-count → broadcast left-anti shape as the MinHash/SimHash
     paths (``_cap_buckets``). Default None — recall complete and
     value-identical to the SQL oracle.
+
+    ``dim`` (the fixed embedding width) switches the norm and the pair
+    cosine to the unrolled codegen plane — bit-identical floats, same
+    oracle (see operators/similarity.py::dot).
     """
     from .similarity import dot, hyperplane_bucket, norm
 
@@ -331,7 +336,7 @@ def embedding_cosine_pairs(
         F.col(id_col),
         F.col(vec_col),
         hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
-        norm(F.col(vec_col)).alias("__norm"),
+        norm(F.col(vec_col), dim).alias("__norm"),
     )
     if max_bucket is not None:
         # checkpoint BEFORE the cap (mirrors simhash_pairs): the cap's
@@ -354,7 +359,9 @@ def embedding_cosine_pairs(
         F.col("__norm").alias("__nb"),
     )
     pairs = a.join(c, ["__bucket"]).filter(F.col("id_b") > F.col("id_a"))
-    cos = dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))
+    cos = dot(F.col("__ea"), F.col("__eb"), dim) / (
+        F.col("__na") * F.col("__nb")
+    )
     return pairs.filter(cos >= threshold).select("id_a", "id_b")
 
 
