@@ -157,14 +157,19 @@ def brute_force_topk(
 
 def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     """LSH bucket id: sign pattern of dot products against fixed random
-    hyperplanes, packed into an int. Deterministic (planes are literals)."""
+    hyperplanes, packed into an int. Deterministic (planes are literals).
+
+    The dots are the FOLD plane on purpose: this expression computes
+    ``len(planes)`` dots in ONE projection, so the unrolled ``dim=``
+    plane (8x on a standalone norm) here emits ``len(planes) * dim``
+    flat terms and blows HotSpot's JIT method limit len(planes) times
+    over — measured 2.7-6.6x SLOWER on every bucketed query
+    (similarity_lsh, lsh_topk_multiband, embedding_cosine_pairs;
+    subprocess-paired A/B, docs/ROUND7.md)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        # the plane literal's length IS the dimension → always unrolled
-        bit = F.when(
-            dot(vec, plane, dim=len(p)) >= 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket
 
