@@ -202,6 +202,26 @@ def test_unrolled_dot_plane_bit_identical_to_hof(spark, testdata_dir):
     assert bad == 0
 
 
+def test_hyperplane_bucket_stays_on_the_fold_plane(spark):
+    """Tripwire for the r7 headline regression: hyperplane_bucket computes
+    len(planes) dots in ONE projection, so the dim-unrolled plane emits
+    len(planes) x dim flat terms, blows HotSpot's JIT method limit
+    len(planes) times over, and ran 2.7-6.6x SLOWER on every bucketed
+    similarity query (docs/ROUND7.md) — while plan DIGESTS stayed
+    identical, because digests hash operator shapes, not expression
+    internals. This pins the expression itself: the bucket must be the
+    zip_with/aggregate fold, with zero unrolled get() terms."""
+    df = spark.createDataFrame(
+        [(1, [0.1] * 16)], "vec_id int, embedding array<float>"
+    )
+    expr = str(
+        df.select(hyperplane_bucket(F.col("embedding"), PLANES).alias("b"))
+        ._jdf.queryExecution().analyzed()
+    )
+    assert "zip_with" in expr and "aggregate" in expr, expr
+    assert "get(embedding" not in expr, expr
+
+
 def test_unrolled_dot_null_and_short_array_semantics(spark):
     """dim plane edge semantics match the HOF plane: NULL array -> NULL,
     array shorter than dim -> NULL (zip_with pads with nulls; F.get
