@@ -444,3 +444,96 @@ def ngram_jaccard_pairs(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified duplicate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, component) for every node, where component = the MIN node id
+    reachable through the undirected ``edges`` (id_a, id_b). The proper
+    group structure for near-dup dedup: pairwise keep-rules (drop the
+    higher id of each pair) over-delete on chains a-b-c, while a
+    component picks exactly one canonical representative per cluster.
+
+    Iterative min-label propagation, Spark-first:
+      - the label state covers ONLY nodes that appear in an edge; at
+        100 TB the duplicate-pair graph is a small fraction of the
+        corpus, so each iteration shuffles |pair nodes| longs — never
+        corpus-wide. Singletons re-enter at the end via a left-anti join
+        against the (small, broadcastable) member set with their own id
+        as component — zero iterations paid for them.
+      - one iteration = edge-join (shuffle on node id) + map-side
+        partial-min aggregate; labels are localCheckpoint'ed each
+        iteration, so lineage stays flat AND the final plan shape is
+        iteration-count-independent (digest-stable across scales).
+      - propagation reaches a fixpoint in <= diameter iterations;
+        near-dup clusters are shallow (a dup of a dup of X is usually a
+        dup of X), so 3-5 iterations is typical. For adversarial
+        long-chain graphs the large-star/small-star variant halves the
+        diameter per round; not needed for dedup-shaped graphs.
+      - convergence is checked with ONE scalar count per iteration (rows
+        whose label still dropped) — the standard iterative-algorithm
+        driver loop; no data ever collects to the driver.
+
+    Raises after ``max_iterations`` without a fixpoint rather than
+    returning silently-unmerged components.
+    """
+    sym = (
+        edges.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
+        .unionByName(
+            edges.select(
+                F.col("id_b").alias("__src"), F.col("id_a").alias("__dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # computed once, scanned every iteration
+    )
+    members = sym.select(F.col("__src").alias("__node")).distinct()
+    labels = members.select("__node", F.col("__node").alias("__comp"))
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        neigh = sym.join(
+            labels.withColumnRenamed("__node", "__dst"), "__dst"
+        ).select(F.col("__src").alias("__node"), "__comp")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("__node")
+            .agg(F.min("__comp").alias("__comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("__comp", "__old"), "__node"
+            )
+            .filter(F.col("__comp") < F.col("__old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iterations} "
+            "iterations (component diameter exceeds the bound)"
+        )
+    # the member set is the dup-graph's nodes — small vs the corpus by
+    # construction, so the singleton scan anti-joins against a BROADCAST
+    # of it (the corpus side never shuffles; checkpointed RDD stats are
+    # unknown to AQE, so the hint is explicit)
+    singles = nodes.select(id_col).join(
+        F.broadcast(members.withColumnRenamed("__node", id_col)),
+        id_col,
+        "left_anti",
+    ).select(F.col(id_col), F.col(id_col).alias("component"))
+    return (
+        labels.select(
+            F.col("__node").alias(id_col), F.col("__comp").alias("component")
+        ).unionByName(singles)
+    )

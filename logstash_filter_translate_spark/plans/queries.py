@@ -27,6 +27,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -799,6 +800,94 @@ dup AS (
 )
 SELECT d.doc_id FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
+"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: the same verified-duplicate pairs as
+    near_dup_keep (MinHash → banded LSH → integer-Jaccard ≥ 0.8), closed
+    into connected components — (doc_id, component) for every document,
+    component = min doc_id reachable through duplicate edges. The group
+    structure a training pipeline actually needs: the pairwise keep-rule
+    over-deletes on chains a-b-c (b and c both drop although c may only
+    duplicate b), while one canonical representative per component is
+    exact. Iterative min-label propagation with per-iteration
+    localCheckpoint — state ∝ nodes-in-pairs, never corpus-wide; the
+    fixpoint loop is the engine's iterative-algorithm plane
+    (operators/dedup.py::connected_components)."""
+    docs = _load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
+    dup_pairs = jac.filter(
+        (F.col("n_union") > 0)
+        & (
+            F.col("n_intersect") * JACCARD_KEEP_DEN
+            >= F.col("n_union") * JACCARD_KEEP_NUM
+        )
+    ).select("id_a", "id_b")
+    return connected_components(
+        docs.select("doc_id"), dup_pairs, id_col="doc_id"
+    )
+
+
+# the oracle closes the duplicate-pair graph with a recursive CTE
+# (transitive reachability, then MIN per node) — exact at test scales;
+# the Spark side's label propagation computes the identical fixpoint
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_intersect
+  FROM cand c
+  JOIN dsh sa ON sa.doc_id = c.id_a
+  JOIN dsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+),
+dup_pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) > 0
+    AND COALESCE(i.n_intersect, 0) * {JACCARD_KEEP_DEN}
+        >= (za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0)) * {JACCARD_KEEP_NUM}
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM dup_pairs
+  UNION
+  SELECT id_b, id_a FROM dup_pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
+),
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
 """
 
 
@@ -2218,6 +2307,12 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       similarity_ivf_probe2 — similarity_ivf at nprobe=2; the recall
 #                               monotonicity vs nprobe=1 is asserted in
 #                               tests/test_similarity.py.
+#       table_dict_shuffle_enrich — the beyond-broadcast dictionary
+#                               plane (pinned sort-merge join), r7.
+#       dedup_components      — near-dup clustering: connected
+#                               components over near_dup_keep's verified
+#                               pairs (iterative min-label propagation);
+#                               recursive-CTE oracle, r7.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2333,12 +2428,14 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parse_extract_arrow": q_parse_extract_arrow,
     "similarity_ivf_probe2": q_similarity_ivf_probe2,
     "table_dict_shuffle_enrich": q_table_dict_shuffle_enrich,
+    "dedup_components": q_dedup_components,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
     "parse_extract_arrow": SQL_PARSE_EXTRACT,
     "similarity_ivf_probe2": SQL_SIMILARITY_IVF_PROBE2,
     "table_dict_shuffle_enrich": SQL_TABLE_DICT_SHUFFLE_ENRICH,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

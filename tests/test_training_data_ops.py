@@ -251,3 +251,51 @@ def test_embedding_cosine_cap_drops_wide_buckets_opt_in(spark):
     # the 3-wide bucket is dropped entirely
     assert not ({(0, 1), (0, 2), (1, 2)} & capped)
     assert capped <= uncapped
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    """Known graph: chain 1-2-3 (the shape the pairwise keep-rule
+    over-deletes on), a separate cycle 10-11-12-10, an isolated edgeless
+    node 20, and an edge-only node pair 30-31. Component = min reachable
+    id; singletons label themselves."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 20, 30, 31)], "id long"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (30, 31)],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20,
+                   30: 30, 31: 30}
+
+
+def test_connected_components_raises_past_iteration_bound(spark):
+    """A 6-node path needs ~5 propagation hops; max_iterations=2 must
+    raise rather than return a silently-unmerged labeling."""
+    import pytest
+
+    from logstash_filter_translate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(nodes, edges, id_col="id", max_iterations=2)
+    # and the bound is about diameter, not edge count: the same graph
+    # converges comfortably within the default
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert set(out.values()) == {0}
