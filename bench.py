@@ -116,6 +116,11 @@ HEADLINE = [
     "vocab_topk",
     "corpus_stats",
     "curation_pipeline",
+    # r7 extras: the beyond-broadcast dictionary plane and the iterative
+    # near-dup clustering plane (~0.95 s and ~2.4 s at sf0.1) — in the
+    # headline so the driver bench tracks both new plan shapes
+    "table_dict_shuffle_enrich",
+    "dedup_components",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge
