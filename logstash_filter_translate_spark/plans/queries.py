@@ -833,9 +833,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the oracle closes the duplicate-pair graph with a recursive CTE
 # (transitive reachability, then MIN per node) — exact at test scales;
-# the Spark side's label propagation computes the identical fixpoint
-SQL_DEDUP_COMPONENTS = f"""
-WITH RECURSIVE {_SQL_SHINGLE_HASH},
+# the Spark side's label propagation computes the identical fixpoint.
+# Shared by dedup_components and canonical_docs.
+_SQL_COMPONENTS_CTES = f"""{_SQL_SHINGLE_HASH},
 sig AS (
   SELECT d.doc_id, {_sql_minhash_cols()}
   FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
@@ -885,9 +885,51 @@ reach(n, m) AS (
   UNION
   SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m
 ),
-comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)
+comp AS (SELECT n AS doc_id, MIN(m) AS component FROM reach GROUP BY n)"""
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_COMPONENTS_CTES}
 SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
 FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+"""
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION on top of the clustering: one canonical
+    document per near-dup component — keep the LONGEST version (the
+    standard curation rule; the truncated copies drop), ties to the
+    lowest doc_id. (component, keep_id), integers only. The argmax is a
+    ``max_by`` over struct(n_chars, -doc_id): a map-side partial
+    aggregate — the shuffle carries one candidate per component per
+    partition, the same scale shape as ivf_assign's argmax (no window
+    sort over the corpus)."""
+    docs = _load(spark, sf_dir, "documents")
+    comp = q_dedup_components(spark, sf_dir)
+    return (
+        comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("keep_id")
+        )
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE {_SQL_COMPONENTS_CTES},
+labeled AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT component, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY component ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM labeled
+)
+SELECT component, doc_id AS keep_id FROM ranked WHERE rn = 1
 """
 
 
@@ -2313,6 +2355,9 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #                               components over near_dup_keep's verified
 #                               pairs (iterative min-label propagation);
 #                               recursive-CTE oracle, r7.
+#       canonical_docs        — the dedup decision on the clustering:
+#                               keep the longest doc per component
+#                               (max_by argmax, integers only), r7.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2429,6 +2474,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ivf_probe2": q_similarity_ivf_probe2,
     "table_dict_shuffle_enrich": q_table_dict_shuffle_enrich,
     "dedup_components": q_dedup_components,
+    "canonical_docs": q_canonical_docs,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2436,6 +2482,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "similarity_ivf_probe2": SQL_SIMILARITY_IVF_PROBE2,
     "table_dict_shuffle_enrich": SQL_TABLE_DICT_SHUFFLE_ENRICH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
+    "canonical_docs": SQL_CANONICAL_DOCS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)
