@@ -299,3 +299,19 @@ def test_connected_components_raises_past_iteration_bound(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert set(out.values()) == {0}
+
+
+def test_connected_components_no_edges_all_singletons(spark):
+    """A corpus with zero duplicate pairs: the loop converges on its
+    first pass (empty label state) and every node labels itself."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
