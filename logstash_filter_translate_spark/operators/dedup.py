@@ -110,23 +110,12 @@ def _cap_buckets(
     return banded.join(F.broadcast(over), keys, "left_anti")
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    id_col: str,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    max_bucket: Optional[int] = None,
+def _band_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
-    """Band the signature, bucket-join, emit distinct candidate pairs
-    (id_a < id_b).
-
-    One shuffle on (band_idx, band_key). ``max_bucket`` is the OPT-IN skew
-    guard for web scale (boilerplate text makes some buckets millions wide;
-    an uncapped bucket-join is quadratic): buckets wider than the cap are
-    dropped entirely, trading those candidates for bounded work. Default
-    None — recall is complete and value-identical to the SQL oracle at any
-    scale; set it when running over a real crawl.
-    """
+    """(id, band_idx, band_key) rows — the shared banding step of the
+    self-join (lsh_candidate_pairs) and cross-corpus
+    (lsh_candidate_pairs_cross) planes."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
@@ -144,11 +133,31 @@ def lsh_candidate_pairs(
         ]
     )
     has_sig = F.col("m0").isNotNull()
-    banded = (
+    return (
         sigs.filter(has_sig)
         .select(id_col, F.explode(bands).alias("b"))
         .select(id_col, "b.band_idx", "b.band_key")
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Band the signature, bucket-join, emit distinct candidate pairs
+    (id_a < id_b).
+
+    One shuffle on (band_idx, band_key). ``max_bucket`` is the OPT-IN skew
+    guard for web scale (boilerplate text makes some buckets millions wide;
+    an uncapped bucket-join is quadratic): buckets wider than the cap are
+    dropped entirely, trading those candidates for bounded work. Default
+    None — recall is complete and value-identical to the SQL oracle at any
+    scale; set it when running over a real crawl.
+    """
+    banded = _band_signatures(sigs, id_col, num_hashes, band_size)
     if max_bucket is not None:
         banded = _cap_buckets(banded, ["band_idx", "band_key"], max_bucket)
     # the self-join would otherwise recompute the whole signature subtree
@@ -165,6 +174,44 @@ def lsh_candidate_pairs(
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_cross(
+    sigs_corpus: DataFrame,
+    sigs_probe: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: Optional[int] = None,
+) -> DataFrame:
+    """Cross-corpus LSH candidates: (id_a from corpus, id_b from probe)
+    sharing at least one band — the fuzzy-decontamination shape (probe =
+    an eval/benchmark set, corpus = training documents).
+
+    The probe side's bands are BROADCAST: eval sets are small by
+    construction, so the corpus is banded map-side and never shuffles —
+    the cross-corpus analogue of contamination_check's broadcast
+    semi-join, where the self-join plane must shuffle both sides.
+    ``max_bucket`` caps CORPUS-side bucket width (boilerplate buckets),
+    same opt-in semantics as lsh_candidate_pairs.
+    """
+    cb = _band_signatures(sigs_corpus, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        cb = _cap_buckets(cb, ["band_idx", "band_key"], max_bucket)
+    pb = _band_signatures(sigs_probe, id_col, num_hashes, band_size)
+    return (
+        cb.alias("l")
+        .join(
+            F.broadcast(pb.alias("r")),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_candidate_pairs_cross,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
@@ -930,6 +931,87 @@ ranked AS (
   FROM labeled
 )
 SELECT component, doc_id AS keep_id FROM ranked WHERE rn = 1
+"""
+
+
+#: eval/benchmark split for the fuzzy-decontamination row: doc_id below
+#: this bound plays the benchmark set, the rest the training corpus. At
+#: sf0.01 a dozen eval docs have verified train-side near-dups, so the
+#: oracle row exercises real flags, not an empty pass-through.
+FUZZY_EVAL_BOUND = 100
+
+
+def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: training documents that NEAR-duplicate an
+    eval/benchmark document (MinHash → cross-corpus banded LSH →
+    integer-Jaccard ≥ 0.8), as (doc_id, eval_id) flag pairs. The exact
+    plane (contamination_check) only catches verbatim leaks; benchmark
+    text reaches crawls reformatted, so real pipelines decontaminate
+    fuzzily. Scale shape: the eval side's bands are BROADCAST
+    (lsh_candidate_pairs_cross) — the 100 TB training corpus is banded
+    map-side and never shuffles; the Jaccard verify then touches
+    candidate documents only (semi-join prefilter)."""
+    docs = _load(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") >= FUZZY_EVAL_BOUND)
+    evals = docs.filter(F.col("doc_id") < FUZZY_EVAL_BOUND)
+    sigs_t = minhash_signatures(train, "text", "doc_id", MINHASH_NUM)
+    sigs_e = minhash_signatures(evals, "text", "doc_id", MINHASH_NUM)
+    cand = lsh_candidate_pairs_cross(
+        sigs_t, sigs_e, "doc_id", MINHASH_NUM, band_size=2
+    )
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", cand)
+    return (
+        jac.filter(
+            (F.col("n_union") > 0)
+            & (
+                F.col("n_intersect") * JACCARD_KEEP_DEN
+                >= F.col("n_union") * JACCARD_KEEP_NUM
+            )
+        )
+        .select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("eval_id"))
+        .distinct()
+    )
+
+
+SQL_FUZZY_CONTAMINATION = f"""
+WITH {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS id_a, e.doc_id AS id_b
+  FROM banded t JOIN banded e
+    ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+  WHERE t.doc_id >= {FUZZY_EVAL_BOUND} AND e.doc_id < {FUZZY_EVAL_BOUND}
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_intersect
+  FROM cand c
+  JOIN dsh sa ON sa.doc_id = c.id_a
+  JOIN dsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a AS doc_id, c.id_b AS eval_id
+FROM cand c
+JOIN sizes za ON za.doc_id = c.id_a
+JOIN sizes zb ON zb.doc_id = c.id_b
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) > 0
+  AND COALESCE(i.n_intersect, 0) * {JACCARD_KEEP_DEN}
+      >= (za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0)) * {JACCARD_KEEP_NUM}
 """
 
 
@@ -2358,6 +2440,10 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       canonical_docs        — the dedup decision on the clustering:
 #                               keep the longest doc per component
 #                               (max_by argmax, integers only), r7.
+#       fuzzy_contamination   — near-dup decontamination vs an eval set:
+#                               cross-corpus banded LSH (eval bands
+#                               broadcast, corpus never shuffles) +
+#                               integer-Jaccard verify, r7.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2475,6 +2561,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_dict_shuffle_enrich": q_table_dict_shuffle_enrich,
     "dedup_components": q_dedup_components,
     "canonical_docs": q_canonical_docs,
+    "fuzzy_contamination": q_fuzzy_contamination,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2483,6 +2570,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "table_dict_shuffle_enrich": SQL_TABLE_DICT_SHUFFLE_ENRICH,
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "canonical_docs": SQL_CANONICAL_DOCS,
+    "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

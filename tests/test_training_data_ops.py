@@ -315,3 +315,40 @@ def test_connected_components_no_edges_all_singletons(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_lsh_cross_candidates_broadcast_probe_and_match_self_join(spark, docs):
+    """Cross-corpus LSH: splitting the corpus and probing one half
+    against the other must surface exactly the self-join's cross-split
+    candidate pairs (same bands, same recall), and the probe side's
+    bands must be BROADCAST — the corpus side never shuffles."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_cross,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", 8)
+    half_a = sigs.filter("doc_id % 2 = 0")
+    half_b = sigs.filter("doc_id % 2 = 1")
+    cross = lsh_candidate_pairs_cross(half_a, half_b, "doc_id", 8)
+    got = {(r["id_a"], r["id_b"]) for r in cross.collect()}
+
+    full = lsh_candidate_pairs(sigs, "doc_id", 8)
+    want = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in ((r["id_a"], r["id_b"]) for r in full.collect())
+        if a % 2 != b % 2
+    }
+    assert got == want
+
+    # the BAND join must be the broadcast one (probe bands built small);
+    # joins inside the signature subtree are free to pick their own
+    # strategy from stats
+    plan = cross._jdf.queryExecution().executedPlan().toString()
+    band_join_lines = [
+        ln for ln in plan.splitlines()
+        if "Join" in ln and "band_idx" in ln and "band_key" in ln
+    ]
+    assert band_join_lines, plan
+    assert all("BroadcastHashJoin" in ln for ln in band_join_lines), plan
