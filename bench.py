@@ -116,11 +116,14 @@ HEADLINE = [
     "vocab_topk",
     "corpus_stats",
     "curation_pipeline",
-    # r7 extras: the beyond-broadcast dictionary plane and the iterative
-    # near-dup clustering plane (~0.95 s and ~2.4 s at sf0.1) — in the
-    # headline so the driver bench tracks both new plan shapes
+    # r7 extras: the beyond-broadcast dictionary plane, the iterative
+    # near-dup clustering plane, and the cross-corpus fuzzy-decontamination
+    # plane (~0.95 / ~2.4 / ~2.1 s at sf0.1) — in the headline so the
+    # driver bench tracks the new plan shapes. canonical_docs stays out:
+    # it re-runs dedup_components' loop plus one aggregate.
     "table_dict_shuffle_enrich",
     "dedup_components",
+    "fuzzy_contamination",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge
