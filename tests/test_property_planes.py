@@ -87,3 +87,51 @@ def test_union_native_plane_matches_python_reference(spark, pairs, probes):
                      exact=False).collect()}
     for p in set(probes):
         assert got[p] == ref(p), (p, pairs)
+
+
+# --- connected_components vs a pure-Python union-find -----------------------
+
+def _uf_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min member id == the root under min-union
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@given(
+    n_nodes=st.integers(min_value=1, max_value=12),
+    edge_picks=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), max_size=16
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
+    """Random graphs (self-loops and duplicate edges included): the
+    iterative min-label propagation must agree with a sequential
+    union-find on every node's component."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(a % n_nodes, b % n_nodes) for a, b in edge_picks]
+    want = _uf_components(n_nodes, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n_nodes)], "id long")
+    edf = spark.createDataFrame(edges, "id_a long, id_b long") if edges else \
+        spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edf, id_col="id").collect()
+    }
+    assert got == want
