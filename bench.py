@@ -124,6 +124,7 @@ HEADLINE = [
     "table_dict_shuffle_enrich",
     "dedup_components",
     "fuzzy_contamination",
+    "boilerplate_shingles",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

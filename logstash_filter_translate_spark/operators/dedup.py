@@ -584,3 +584,40 @@ def connected_components(
             F.col("__node").alias(id_col), F.col("__comp").alias("component")
         ).unionByName(singles)
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate shingle inventory
+# ---------------------------------------------------------------------------
+
+def boilerplate_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    min_docs: int = 5,
+) -> DataFrame:
+    """(shingle, doc_freq) for word n-grams appearing in at least
+    ``min_docs`` DISTINCT documents — the boilerplate inventory (nav
+    chrome, footers, cookie banners) that produces the hot LSH buckets
+    the ``max_bucket`` caps guard against; measuring it directly is how
+    a deployment picks the cap.
+
+    One shuffle, keyed on the shingle: per-document distinct shingles
+    explode map-side (array_distinct before the explode, so a shingle
+    repeated inside one document counts once), then COUNT(*) partial-
+    aggregates map-side — the exchange carries (shingle, partial count)
+    rows, never the corpus. The HAVING-style filter lands after the
+    final aggregate; at web scale the survivors are by definition few.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n))
+        ).alias("shingle"),
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )

@@ -27,6 +27,7 @@ from ..functions.text import (
     tokens,
 )
 from ..operators.dedup import (
+    boilerplate_shingles,
     connected_components,
     exact_dedup,
     lsh_candidate_pairs,
@@ -971,6 +972,36 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("doc_id"), F.col("id_b").alias("eval_id"))
         .distinct()
     )
+
+
+#: doc-frequency threshold for the boilerplate inventory: at sf0.01 the
+#: corpus has ~150 shingles in 5-9 docs and none wider, so 5 BINDS (the
+#: row exercises real survivors, not an empty pass-through)
+BOILERPLATE_MIN_DOCS = 5
+
+
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate inventory: word 3-grams appearing in ≥ 5 distinct
+    documents (nav chrome, footers, cookie banners) — the text that
+    produces the hot LSH buckets the ``max_bucket`` caps guard against.
+    Measuring it is how a deployment PICKS the cap. One shuffle keyed on
+    the shingle, map-side partial counts
+    (operators/dedup.py::boilerplate_shingles)."""
+    return boilerplate_shingles(
+        _load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        shingle_n=3,
+        min_docs=BOILERPLATE_MIN_DOCS,
+    )
+
+
+SQL_BOILERPLATE_SHINGLES = f"""
+WITH {_SQL_SHINGLE_HASH},
+dsh AS (SELECT DISTINCT doc_id, s FROM sh)
+SELECT s AS shingle, COUNT(*) AS doc_freq
+FROM dsh GROUP BY s HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+"""
 
 
 SQL_FUZZY_CONTAMINATION = f"""
@@ -2444,6 +2475,8 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #                               cross-corpus banded LSH (eval bands
 #                               broadcast, corpus never shuffles) +
 #                               integer-Jaccard verify, r7.
+#       boilerplate_shingles  — doc-frequency inventory of hot shingles
+#                               (how a deployment picks max_bucket), r7.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2562,6 +2595,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": q_dedup_components,
     "canonical_docs": q_canonical_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
+    "boilerplate_shingles": q_boilerplate_shingles,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2571,6 +2605,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "canonical_docs": SQL_CANONICAL_DOCS,
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
+    "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -352,3 +352,28 @@ def test_lsh_cross_candidates_broadcast_probe_and_match_self_join(spark, docs):
     ]
     assert band_join_lines, plan
     assert all("BroadcastHashJoin" in ln for ln in band_join_lines), plan
+
+
+def test_boilerplate_shingles_count_distinct_docs_once(spark):
+    """A shingle repeated INSIDE one document counts once (doc frequency,
+    not term frequency); the min_docs filter binds."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        boilerplate_shingles,
+    )
+
+    rows = [
+        (0, "click here now click here now click here now"),  # repeats internally
+        (1, "click here now something else entirely ok"),
+        (2, "click here now unrelated tail words go here"),
+        (3, "completely different text with no overlap at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["shingle"]: r["doc_freq"]
+        for r in boilerplate_shingles(
+            df, "text", "doc_id", shingle_n=3, min_docs=3
+        ).collect()
+    }
+    # 'click here now' appears in docs 0,1,2 -> freq 3 (not 5: doc 0's
+    # internal repeats collapse); nothing else reaches 3 docs
+    assert out == {"click here now": 3}
