@@ -509,6 +509,13 @@ def connected_components(
     higher id of each pair) over-delete on chains a-b-c, while a
     component picks exactly one canonical representative per cluster.
 
+    The output universe is ``nodes`` UNION every id appearing in an
+    edge: an edge endpoint absent from ``nodes`` still gets a labeled
+    row (no silent drop — for dedup graphs edges ⊆ nodes by
+    construction, and a violation surfacing as an extra row beats one
+    vanishing). Restrict the edge frame first if strict-``nodes``
+    output is needed.
+
     Iterative min-label propagation, Spark-first:
       - the label state covers ONLY nodes that appear in an edge; at
         100 TB the duplicate-pair graph is a small fraction of the

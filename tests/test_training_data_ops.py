@@ -377,3 +377,20 @@ def test_boilerplate_shingles_count_distinct_docs_once(spark):
     # 'click here now' appears in docs 0,1,2 -> freq 3 (not 5: doc 0's
     # internal repeats collapse); nothing else reaches 3 docs
     assert out == {"click here now": 3}
+
+
+def test_connected_components_edge_only_node_surfaces(spark):
+    """Documented contract: an edge endpoint absent from `nodes` still
+    gets a labeled row — a nodes/edges mismatch surfaces as an extra row
+    instead of silently vanishing."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 99)], "id_a long, id_b long")
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert out == {0: 0, 1: 1, 99: 0}
