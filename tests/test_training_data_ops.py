@@ -394,3 +394,30 @@ def test_connected_components_edge_only_node_surfaces(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert out == {0: 0, 1: 1, 99: 0}
+
+
+def test_lsh_cross_max_bucket_caps_corpus_side(spark, docs):
+    """The cross plane's opt-in cap drops over-wide CORPUS buckets:
+    capped candidates are a subset of uncapped, and a pair that only met
+    in a wide bucket disappears (docs 0/1/4 share every band)."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        lsh_candidate_pairs_cross,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", 8)
+    corpus = sigs.filter("doc_id in (0, 1, 4)")  # three identical docs
+    probe = sigs.filter("doc_id = 2")            # near dup of them
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_cross(corpus, probe, "doc_id", 8).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_cross(
+            corpus, probe, "doc_id", 8, max_bucket=2
+        ).collect()
+    }
+    assert capped <= uncapped
+    # every corpus bucket holds the 3 identical docs -> all capped away
+    assert uncapped and not capped
