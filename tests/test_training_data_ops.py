@@ -421,3 +421,23 @@ def test_lsh_cross_max_bucket_caps_corpus_side(spark, docs):
     assert capped <= uncapped
     # every corpus bucket holds the 3 identical docs -> all capped away
     assert uncapped and not capped
+
+
+def test_canonical_docs_argmax_tiebreak_lowest_id(spark):
+    """canonical_docs' argmax: max n_chars wins; an exact length tie
+    breaks to the LOWEST doc_id (max_by over struct(n_chars, -doc_id) -
+    the same pattern ivf_assign pins for centroid ties)."""
+    from pyspark.sql import functions as F
+
+    rows = [(7, 10, 100), (3, 10, 100), (9, 10, 80)]  # (doc, comp, len)
+    df = spark.createDataFrame(rows, "doc_id long, component long, n_chars long")
+    out = (
+        df.groupBy("component")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")))
+            ).alias("keep_id")
+        )
+        .collect()
+    )
+    assert [(r["component"], r["keep_id"]) for r in out] == [(10, 3)]
