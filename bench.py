@@ -224,6 +224,14 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
                           "timed": [round(x, 3) for x in reps],
                           "steal_pct": steal}
         timings[name] = round(statistics.median(reps), 3)
+        # kill-safety (same doctrine as the sweep's per-pair writes): the
+        # per-query evidence lands in STATE and the HEADLINE side file
+        # after EVERY query, so a SIGTERM mid-headline still emits the
+        # completed medians and a valid partial artifact instead of
+        # value=0.0 / queries_file=null losing 40 minutes of measurements
+        STATE["timings"] = timings
+        STATE["total"] = round(sum(timings.values()), 3)
+        _write_headline_artifact(timings, all_reps, partial=True)
         log(f"  {name}: {timings[name]}s (warm {round(warm, 3)}s, "
             f"steal {steal}%)")
     spark.stop()
@@ -920,6 +928,58 @@ def emit_final() -> None:
     print(render_stdout_line(build_stdout_payload()), flush=True)
 
 
+def _write_headline_artifact(
+    timings: dict, all_reps: dict, partial: bool
+) -> None:
+    """Per-query evidence, (re)written after EVERY completed query and
+    once more (partial=False) after the loop. Kill-safety doctrine: the
+    sweep has written incrementally per pair since r5, but the headline
+    lost that property in r7 when the per-query map moved OFF the stdout
+    line into this side file written only at loop end — a SIGTERM 52
+    queries into a 53-query headline would have emitted value=0.0 /
+    queries_file=null and dropped every completed median. Now the
+    handler's emit path always finds totals-so-far in STATE and a valid
+    (partial-flagged) artifact on disk. Atomic rename so a kill
+    mid-write can't leave a truncated JSON."""
+    if not all_reps:
+        return
+    extras = STATE["extras"]
+    extras["headline"] = {
+        "protocol": "1 warm + 3 timed reps/query, median; "
+        "full protocol in the reps file",
+        "total_median_of_3": round(sum(timings.values()), 3),
+        "total_best_of_3": round(
+            sum(min(r["timed"]) for r in all_reps.values()), 3
+        ),
+        "warm_over_rep_median_ratio": round(
+            statistics.median(
+                r["warm"] / max(statistics.median(r["timed"]), 1e-9)
+                for r in all_reps.values()
+            ),
+            2,
+        ),
+        "per_query_reps_file": os.path.relpath(
+            _run_artifact("HEADLINE"), REPO
+        ),
+    }
+    if partial:
+        extras["headline"]["partial"] = True
+    STATE["queries_file"] = extras["headline"]["per_query_reps_file"]
+    payload = {
+        "protocol": "per-query: 1 untimed warm run + 3 timed "
+        "reps, MEDIAN reported, steady-state session, cold "
+        "plan per run",
+        "medians": timings,
+        "reps": all_reps,
+    }
+    if partial:
+        payload["partial"] = True
+    tmp = _run_artifact("HEADLINE") + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, _run_artifact("HEADLINE"))
+
+
 def _scaling_extras_from_sweep() -> None:
     """(Re)build extras.scaling from the incrementally-written SWEEP
     artifact — called both on the happy path and from the signal handler,
@@ -1034,42 +1094,10 @@ def main() -> None:
         timings, total, all_reps = {}, 0.0, {}
 
     extras = STATE["extras"]
-    if all_reps:
-        # label the headline statistic explicitly; best-of kept alongside
-        # for cross-round continuity with r1-r4 artifacts. The per-query
-        # medians AND full rep times go to the HEADLINE side file — the
-        # stdout JSON line stays under STDOUT_LINE_LIMIT so the driver's
-        # log-tail capture parses it (round-6 judge item #1).
-        extras["headline"] = {
-            "protocol": "1 warm + 3 timed reps/query, median; "
-            "full protocol in the reps file",
-            "total_median_of_3": total,
-            "total_best_of_3": round(
-                sum(min(r["timed"]) for r in all_reps.values()), 3
-            ),
-            "warm_over_rep_median_ratio": round(
-                statistics.median(
-                    r["warm"] / max(statistics.median(r["timed"]), 1e-9)
-                    for r in all_reps.values()
-                ),
-                2,
-            ),
-            "per_query_reps_file": os.path.relpath(
-                _run_artifact("HEADLINE"), REPO
-            ),
-        }
-        STATE["queries_file"] = extras["headline"]["per_query_reps_file"]
-        with open(_run_artifact("HEADLINE"), "w") as fh:
-            json.dump(
-                {
-                    "protocol": "per-query: 1 untimed warm run + 3 timed "
-                    "reps, MEDIAN reported, steady-state session, cold "
-                    "plan per run",
-                    "medians": timings,
-                    "reps": all_reps,
-                },
-                fh,
-            )
+    # final (non-partial) rewrite of the per-query side file; the stdout
+    # JSON line stays under STDOUT_LINE_LIMIT so the driver's log-tail
+    # capture parses it (round-6 judge item #1)
+    _write_headline_artifact(timings, all_reps, partial=False)
     # plan-fingerprint artifact (round-4 judge item #6): a normalized
     # physical-plan digest per contract query — regression tracking that
     # host timing noise can't fake. Cheap (~1 min at sf0.001), own JVM.

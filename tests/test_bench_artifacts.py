@@ -212,3 +212,45 @@ def test_sweep_history_orders_by_round_then_suffix_on_equal_mtime(
     names = [os.path.basename(x) for x in bench._sweep_history_paths()]
     assert names == ["SWEEP_r10.json", "SWEEP_r9.json",
                      "SWEEP_r6c.json", "SWEEP_r6a.json"]
+
+
+def test_headline_artifact_written_incrementally_and_kill_safe(
+    tmp_path, monkeypatch
+):
+    """r7 code-review finding: moving the per-query map off the stdout
+    line made the HEADLINE side file the ONLY durable home of the
+    per-query evidence — so it must be (re)written after every query,
+    partial-flagged, with totals-so-far in STATE for the signal
+    handler's emit path. A kill mid-headline then still yields a valid
+    artifact instead of value=0.0 / queries_file=null."""
+    _fake_repo(tmp_path, monkeypatch)
+    monkeypatch.setattr(
+        bench, "STATE",
+        {"timings": {}, "total": 0.0, "extras": {}, "sf": 0.1,
+         "emitted": False},
+    )
+    reps = {"q1": {"warm": 1.2, "timed": [1.0, 1.1, 1.0], "steal_pct": 0.0}}
+    bench._write_headline_artifact({"q1": 1.0}, reps, partial=True)
+
+    path = bench._run_artifact("HEADLINE")
+    with open(path) as fh:
+        on_disk = json.load(fh)
+    assert on_disk["partial"] is True
+    assert on_disk["medians"] == {"q1": 1.0}
+    assert bench.STATE["queries_file"] == os.path.relpath(path, str(tmp_path))
+    assert bench.STATE["extras"]["headline"]["partial"] is True
+    assert bench.STATE["extras"]["headline"]["total_median_of_3"] == 1.0
+    # the handler's emit path surfaces the evidence-so-far
+    payload = bench.build_stdout_payload()
+    assert payload["queries_file"] == bench.STATE["queries_file"]
+
+    # second query lands; final rewrite clears the partial flag
+    reps["q2"] = {"warm": 0.5, "timed": [0.4, 0.4, 0.4], "steal_pct": 0.0}
+    bench._write_headline_artifact({"q1": 1.0, "q2": 0.4}, reps,
+                                   partial=False)
+    with open(path) as fh:
+        final = json.load(fh)
+    assert "partial" not in final
+    assert final["medians"] == {"q1": 1.0, "q2": 0.4}
+    assert "partial" not in bench.STATE["extras"]["headline"]
+    assert not os.path.exists(path + ".tmp")
