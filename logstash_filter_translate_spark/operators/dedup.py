@@ -201,6 +201,12 @@ def lsh_candidate_pairs_cross(
     semi-join, where the self-join plane must shuffle both sides.
     ``max_bucket`` caps CORPUS-side bucket width (boilerplate buckets),
     same opt-in semantics as lsh_candidate_pairs.
+
+    Ids are assumed to share one namespace (both sides drawn from the
+    same document universe — true for decontamination): a document
+    present on BOTH sides under the same id is excluded from pairing
+    with itself (a doc cannot contaminate itself; without the guard the
+    self-pair's Jaccard of 1.0 would flag it spuriously).
     """
     cb = _band_signatures(sigs_corpus, id_col, num_hashes, band_size)
     if max_bucket is not None:
@@ -211,7 +217,8 @@ def lsh_candidate_pairs_cross(
         .join(
             F.broadcast(pb.alias("r")),
             (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key")),
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
         )
         .select(
             F.col(f"l.{id_col}").alias("id_a"),

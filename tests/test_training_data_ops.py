@@ -441,3 +441,21 @@ def test_canonical_docs_argmax_tiebreak_lowest_id(spark):
         .collect()
     )
     assert [(r["component"], r["keep_id"]) for r in out] == [(10, 3)]
+
+
+def test_lsh_cross_overlapping_sides_never_self_pair(spark, docs):
+    """A doc present on BOTH sides under the same id (overlapping split)
+    must not pair with itself - without the guard its Jaccard of 1.0
+    would flag it as contaminating itself."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        lsh_candidate_pairs_cross,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, "text", "doc_id", 8)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs_cross(sigs, sigs, "doc_id", 8).collect()
+    }
+    assert got  # real cross pairs survive (0<->1 are identical docs)
+    assert not any(a == b for a, b in got)
