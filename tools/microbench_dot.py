@@ -33,7 +33,6 @@ import json
 import os
 import sys
 import time
-from functools import reduce
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -80,38 +79,18 @@ def plane_hof(corpus, queries):
     )
 
 
-def dot_unrolled(a, b, dim: int = DIM):
-    """Left-associated unrolled sum — the same sequential summation order
-    as the aggregate() fold, so results are bit-identical to plane_hof."""
-    from pyspark.sql import functions as F
-
-    terms = [
-        F.get(a, i).cast("double") * F.get(b, i).cast("double")
-        for i in range(dim)
-    ]
-    return reduce(lambda x, y: x + y, terms)
-
-
-def norm_unrolled(a, dim: int = DIM):
-    from pyspark.sql import functions as F
-
-    terms = [
-        F.get(a, i).cast("double") * F.get(a, i).cast("double")
-        for i in range(dim)
-    ]
-    return F.sqrt(reduce(lambda x, y: x + y, terms))
-
-
 def plane_unrolled(corpus, queries):
+    """The LIBRARY's dim-unrolled plane (operators/similarity.py::cosine
+    with dim=) — the tool measures the shipped expression, never a local
+    copy that could drift from what users run (code-review r7)."""
     from pyspark.sql import functions as F
 
-    a, b = F.col("emb"), F.col("qvec")
+    from logstash_filter_translate_spark.operators.similarity import cosine
+
     return corpus.join(F.broadcast(queries)).select(
         "vec_id",
         "query_id",
-        (dot_unrolled(a, b) / (norm_unrolled(a) * norm_unrolled(b))).alias(
-            "score"
-        ),
+        cosine(F.col("emb"), F.col("qvec"), dim=DIM).alias("score"),
     )
 
 
@@ -133,8 +112,10 @@ def plane_explode(corpus, queries):
         )
     )
     # query norms are tiny (one per query): computed once, broadcast back
+    from logstash_filter_translate_spark.operators.similarity import norm
+
     qn = queries.select(
-        "query_id", norm_unrolled(F.col("qvec")).alias("nb")
+        "query_id", norm(F.col("qvec"), dim=DIM).alias("nb")
     )
     return scored.join(F.broadcast(qn), "query_id").select(
         "vec_id",
@@ -266,11 +247,21 @@ def main() -> None:
         ),
     }
     tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r7")
-    out_path = os.path.join(
+    bench_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH",
-        f"MICRO_DOT_{tag}.json",
     )
+    # no-clobber convention (CLAUDE.md: same-tag collisions auto-suffix
+    # like the bench artifacts): a re-measure in the same round must not
+    # overwrite the recorded evidence earlier conclusions cite
+    out_path = None
+    for s in [""] + list("bcdefghijklmnopqrstuvwxyz"):
+        cand = os.path.join(bench_dir, f"MICRO_DOT_{tag}{s}.json")
+        if not os.path.exists(cand):
+            out_path = cand
+            break
+    if out_path is None:
+        out_path = os.path.join(bench_dir, f"MICRO_DOT_{tag}_overflow.json")
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
