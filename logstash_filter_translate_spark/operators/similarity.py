@@ -106,8 +106,25 @@ def brute_force_topk(
     at 4M pairs (BENCH/MICRO_DOT_r7.json) — the scale plane. It adds one
     exchange of the scored rows (same magnitude the top-k window shuffles
     anyway) and its summation order is partition-dependent (last-ulp
-    drift; irrelevant to the ID-only output). The fold stays default:
-    below ~10^5 corpus rows its lower fixed overhead wins.
+    drift). The fold stays default: below ~10^5 corpus rows its lower
+    fixed overhead wins.
+
+    Explode-plane semantics vs the fold (code-review r7):
+      - a NULL ELEMENT inside an embedding poisons the score to NULL on
+        both planes (the fold via NULL propagation; the explode plane
+        via an explicit any-null vote in the aggregate — F.sum alone
+        would silently skip the term and emit a finite, competitive
+        score the SQL oracle disagrees with);
+      - a NULL or EMPTY embedding produces no exploded rows, so it never
+        ranks on the explode plane; the fold carries it at score=NULL,
+        which ranks (NULLS LAST) only when a query has fewer than k
+        scoreable candidates — a degenerate corpus, documented rather
+        than papered over;
+      - the ID-only output is robust to the drift for ranking purposes:
+        a rank flip needs two DISTINCT vectors whose cosines agree to
+        ~k·ulp (bit-identical vectors sum bit-identically under any
+        order and tie-break on id), which random embeddings do not
+        produce; pair-equality to the fold is asserted at sf0.01+sf0.1.
     """
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
@@ -125,6 +142,12 @@ def brute_force_topk(
             .agg(
                 F.sum(F.col("__cv") * F.col("__qv")).alias("__d"),
                 F.sum(F.col("__cv") * F.col("__cv")).alias("__na"),
+                # NULL-element parity with the fold: F.sum SKIPS null
+                # products, so without this vote a partially-null vector
+                # would score finite and competitive (docstring)
+                F.max(
+                    F.col("__cv").isNull() | F.col("__qv").isNull()
+                ).alias("__anynull"),
             )
         )
         qn = q.select(query_id_col, norm(F.col("__qvec")).alias("__nb"))
@@ -134,9 +157,10 @@ def brute_force_topk(
             .select(
                 query_id_col,
                 id_col,
-                (F.col("__d") / (F.sqrt("__na") * F.col("__nb"))).alias(
-                    "score"
-                ),
+                F.when(
+                    ~F.col("__anynull"),
+                    F.col("__d") / (F.sqrt("__na") * F.col("__nb")),
+                ).alias("score"),
             )
         )
     else:

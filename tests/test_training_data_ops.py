@@ -459,3 +459,29 @@ def test_lsh_cross_overlapping_sides_never_self_pair(spark, docs):
     }
     assert got  # real cross pairs survive (0<->1 are identical docs)
     assert not any(a == b for a, b in got)
+
+
+def test_brute_force_topk_explode_null_element_parity_with_fold(spark):
+    """code-review r7: F.sum skips NULL products, so the explode plane
+    scored a partially-NULL vector finite and competitive while the fold
+    (and the SQL oracle) poison it to NULL. With the any-null vote both
+    planes exclude it from the ranking."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),
+        (2, [0.98, None, 0.0, 0.0]),  # NULL element: must never rank
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    fold = [
+        (r["rank"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=2, plane="fold").collect()
+    ]
+    expl = [
+        (r["rank"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=2, plane="explode").collect()
+    ]
+    assert fold == expl == [(1, 1), (2, 3)]
