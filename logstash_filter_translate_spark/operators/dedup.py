@@ -413,8 +413,12 @@ def embedding_cosine_pairs(
         F.col("__norm").alias("__nb"),
     )
     pairs = a.join(c, ["__bucket"]).filter(F.col("id_b") > F.col("id_a"))
-    cos = dot(F.col("__ea"), F.col("__eb"), dim) / (
-        F.col("__na") * F.col("__nb")
+    # try_divide: a zero-norm vector yields cos=NULL (>= filter drops it)
+    # instead of an ANSI DIVIDE_BY_ZERO throw — DuckDB's x/0 is also NULL,
+    # so the oracle agrees (code-review r7)
+    cos = F.try_divide(
+        dot(F.col("__ea"), F.col("__eb"), dim),
+        F.col("__na") * F.col("__nb"),
     )
     return pairs.filter(cos >= threshold).select("id_a", "id_b")
 

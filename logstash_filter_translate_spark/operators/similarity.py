@@ -82,7 +82,14 @@ def norm(a: Column, dim: Optional[int] = None) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    """NULL (not a throw) on a zero-norm vector: this session runs Spark
+    4.1 ANSI mode, where a plain ``/`` raises DIVIDE_BY_ZERO the moment
+    one all-zero embedding (empty-doc vector, padding row) appears in a
+    100 TB corpus — try_divide degrades it to an unranked NULL score
+    instead, which is also exactly DuckDB's x/0 semantics, so the
+    oracle agrees on degenerate data (code-review r7, verified both
+    engines)."""
+    return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
 def brute_force_topk(
@@ -159,7 +166,10 @@ def brute_force_topk(
                 id_col,
                 F.when(
                     ~F.col("__anynull"),
-                    F.col("__d") / (F.sqrt("__na") * F.col("__nb")),
+                    # try_divide: zero-norm → NULL, same as cosine()
+                    F.try_divide(
+                        F.col("__d"), F.sqrt("__na") * F.col("__nb")
+                    ),
                 ).alias("score"),
             )
         )

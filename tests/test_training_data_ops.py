@@ -485,3 +485,34 @@ def test_brute_force_topk_explode_null_element_parity_with_fold(spark):
         for r in brute_force_topk(emb, queries, k=2, plane="explode").collect()
     ]
     assert fold == expl == [(1, 1), (2, 3)]
+
+
+def test_zero_norm_vector_scores_null_not_divide_by_zero(spark):
+    """code-review r7, verified on this ANSI session: one all-zero
+    embedding (empty-doc vector, padding row) made every cosine path
+    throw DIVIDE_BY_ZERO and kill the query. try_divide degrades it to
+    an unranked NULL score on both planes - which is also DuckDB's x/0
+    semantics, so the oracle agrees on degenerate data."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.5, 0.5]), (2, [0.0, 0.0]),
+            (3, [-1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for plane in ("fold", "explode"):
+        got = [
+            (r["rank"], r["vec_id"])
+            for r in brute_force_topk(emb, queries, k=2, plane=plane).collect()
+        ]
+        assert got == [(1, 1), (2, 3)], (plane, got)  # zero-norm never ranks
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_cosine_pairs(emb, planes, threshold=0.0).collect()
+    }
+    assert not any(2 in p for p in pairs)  # NULL cos -> filtered, no throw
