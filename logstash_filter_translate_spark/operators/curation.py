@@ -45,11 +45,17 @@ def stratified_sample(
     per-source mix. Unknown strata fall back to ``default_rate``.
     """
     bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(SAMPLE_BUCKETS))
-    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    # round, NOT truncate: int() alone turns binary-float rates into the
+    # bucket BELOW the configured one (int(0.57*10000) == 5699), silently
+    # skewing the mix for 56 of the 999 three-decimal rates — violating
+    # this module's own 4-digit-resolution contract (code-review r7).
+    # Oracles render thresholds with the same rounding (queries.py).
+    threshold = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
     expr = threshold
     for stratum, rate in sorted(rates.items()):
         expr = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(strata_col) == stratum,
+            F.lit(int(round(rate * SAMPLE_BUCKETS))),
         ).otherwise(expr)
     return df.filter(bucket < expr)
 

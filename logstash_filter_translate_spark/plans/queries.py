@@ -1746,12 +1746,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_rate_case() -> str:
+    # round, not truncate — must mirror stratified_sample's threshold
+    # arithmetic exactly (operators/curation.py, code-review r7)
     whens = " ".join(
-        f"WHEN '{s}' THEN {int(r * 10000)}"
+        f"WHEN '{s}' THEN {int(round(r * 10000))}"
         for s, r in sorted(SAMPLE_RATES.items())
     )
     return (
-        f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * 10000)} END"
+        f"CASE lang {whens} ELSE {int(round(SAMPLE_DEFAULT_RATE * 10000))} END"
     )
 
 

@@ -211,3 +211,36 @@ def test_pii_redaction_rules_and_order(spark):
     assert (out[0]["ne"], out[0]["np"], out[0]["ni"]) == (1, 1, 1)
     assert out[1]["r"] == "no pii here"
     assert (out[1]["ne"], out[1]["np"], out[1]["ni"]) == (0, 0, 0)
+
+
+def test_stratified_sample_rate_rounds_not_truncates(spark):
+    """code-review r7: int(0.57*10000) == 5699, so binary-float rates
+    landed one bucket below the configured rate. The threshold must
+    round: with rate=0.57 the keep-set must include a bucket-5699 row
+    (5699 < 5700), which truncation would drop."""
+    from logstash_filter_translate_spark.functions.text import hash32
+    from logstash_filter_translate_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    ids = spark.range(0, 100000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    # the boundary bucket: ids hashing to exactly 5699 are kept by the
+    # rounded threshold (5699 < 5700) and dropped by the truncated one
+    boundary = {
+        r["doc_id"]
+        for r in ids.withColumn(
+            "b", F.pmod(hash32(F.col("doc_id").cast("string")), F.lit(10000))
+        )
+        .filter("b = 5699")
+        .collect()
+    }
+    assert boundary, "no bucket-5699 id in range — widen the id range"
+    kept = {
+        r["doc_id"]
+        for r in stratified_sample(
+            ids, "lang", {"en": 0.57}, "doc_id"
+        ).collect()
+    }
+    assert boundary <= kept
