@@ -86,6 +86,12 @@ class Translate:
             )
         self._physical = physical
         self.strategy: LookupStrategy = self._build_strategy()
+        # key-tracking variant of a native union strategy, built lazily on
+        # the first apply(matched_key_col=...) — a PER-CALL substitute,
+        # never written back to self.strategy (code-review r7: the old
+        # in-place flip silently degraded every SUBSEQUENT plain apply()
+        # to the Arrow-UDF plane until the next refresh)
+        self._union_keytrack: Optional[LookupStrategy] = None
 
     # -- dictionary ---------------------------------------------------------
     def _pairs(self):
@@ -122,6 +128,7 @@ class Translate:
         changed = self._dict_file.reload(force=force)
         if changed:
             self.strategy = self._build_strategy()
+            self._union_keytrack = None  # rebuilt lazily from new pairs
         return changed
 
     # -- application --------------------------------------------------------
@@ -237,16 +244,25 @@ class Translate:
     ) -> DataFrame:
         cfg = self.config
         key = self._coerce_single_key(df)
-        # the native union plane cannot report the first-matched key; flip
-        # to the UDF plane when the caller asks for key tracking
+        # the native union plane cannot report the first-matched key; use
+        # the UDF plane FOR THIS CALL when the caller asks for key
+        # tracking — a local substitute (cached, refresh-invalidated),
+        # never an in-place strategy mutation: writing self.strategy here
+        # silently degraded every subsequent plain apply() on the same
+        # instance to the Arrow-UDF plane (code-review r7)
         from .lookup import UnionSubstitution
 
+        strategy = self.strategy
         if (
             matched_key_col is not None
-            and isinstance(self.strategy, UnionSubstitution)
-            and self.strategy.native
+            and isinstance(strategy, UnionSubstitution)
+            and strategy.native
         ):
-            self.strategy = UnionSubstitution(self._pairs(), prefer_native=False)
+            if self._union_keytrack is None:
+                self._union_keytrack = UnionSubstitution(
+                    self._pairs(), prefer_native=False
+                )
+            strategy = self._union_keytrack
         # materialize the gate BEFORE the target column is overwritten —
         # later expressions must see the ORIGINAL target
         df = df.withColumn(_SKIP, self._skip_gate(df))
@@ -254,18 +270,18 @@ class Translate:
 
         from .lookup import ExactMapLiteral
 
-        if isinstance(self.strategy, ExactMapLiteral):
+        if isinstance(strategy, ExactMapLiteral):
             # struct-free fast path: the uniform lookup struct costs one
             # object per row; for the (hot) exact map-literal plane compute
             # matched/value/key as plain expressions instead
             return self._apply_single_map_literal(
                 df, key, skip, route_col, matched_key_col
             )
-        if isinstance(self.strategy, ExactBroadcastJoin):
-            df = self.strategy.join(df, key, _RES)
+        if isinstance(strategy, ExactBroadcastJoin):
+            df = strategy.join(df, key, _RES)
             res = F.col(_RES)
         else:
-            res = self.strategy.expr(key)
+            res = strategy.expr(key)
             df = df.withColumn(_RES, res)
             res = F.col(_RES)
 
@@ -299,8 +315,11 @@ class Translate:
 
         out = self._write_target(df, translated).withColumn(route_col, route)
         if matched_key_col is not None:
+            # skip guard: the reference short-circuits BEFORE any lookup
+            # on the O7 gate (single_value_update.rb:27-31) — a skipped
+            # row semantically never looked anything up, so no key
             out = out.withColumn(
-                matched_key_col, F.when(res["matched"], res["key"])
+                matched_key_col, F.when(~skip & res["matched"], res["key"])
             )
         return out.drop(_RES, _SKIP)
 
@@ -352,7 +371,9 @@ class Translate:
         )
         out = self._write_target(df, translated).withColumn(route_col, route)
         if matched_key_col is not None:
-            out = out.withColumn(matched_key_col, F.when(matched, key))
+            # same skip guard as the struct plane: no lookup ran on a
+            # skipped row (reference single_value_update.rb:27-31)
+            out = out.withColumn(matched_key_col, F.when(~skip & matched, key))
         return out.drop(_SKIP, "__lfts_key", "__lfts_val")
 
     # -- O5: array-of-values --------------------------------------------------

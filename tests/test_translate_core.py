@@ -423,3 +423,55 @@ def test_exact_physical_planes_agree(spark):
     a = translate(df, source="k", dictionary=d, fallback="fb", physical="expr")
     b = translate(df, source="k", dictionary=d, fallback="fb", physical="join")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_matched_key_is_null_on_skipped_rows(spark):
+    """code-review r7 / O7 parity: the reference short-circuits before
+    any lookup on the override gate (single_value_update.rb:27-31), so a
+    skipped row must not report a matched key even when its source value
+    IS in the dictionary."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_translate_spark import translate
+
+    df = spark.createDataFrame(
+        [("200", "already-set"), ("200", None), ("999", None)],
+        "status string, translation string",
+    )
+    out = translate(
+        df, source="status", target="translation",
+        dictionary={"200": "OK"}, override=False, fallback="fb",
+        matched_key_col="mk",
+    ).collect()
+    rows = {(r["status"], r["route"]): r["mk"] for r in out}
+    assert rows[("200", "skipped")] is None      # gate fired: no lookup ran
+    assert rows[("200", "matched")] == "200"
+    assert rows[("999", "fallback")] is None
+
+
+def test_key_tracking_does_not_degrade_later_applies(spark):
+    """code-review r7: apply(matched_key_col=...) on a native union
+    strategy must not mutate self.strategy - a later plain apply() on
+    the same instance keeps the codegen-native plane (and both calls
+    return reference-correct values)."""
+    from logstash_filter_translate_spark.config import TranslateConfig
+    from logstash_filter_translate_spark.operators.lookup import (
+        UnionSubstitution,
+    )
+    from logstash_filter_translate_spark.operators.translate import Translate
+
+    cfg = TranslateConfig(
+        source="msg", target="msg", exact=False,
+        dictionary={"foo": "X", "bar": "Y"},
+    )
+    op = Translate(cfg)
+    assert isinstance(op.strategy, UnionSubstitution) and op.strategy.native
+    df = spark.createDataFrame([("a foo b",), ("none here",)], "msg string")
+
+    tracked = op.apply(df, matched_key_col="mk").collect()
+    assert isinstance(op.strategy, UnionSubstitution) and op.strategy.native
+    plain = op.apply(df).collect()
+    assert {r["msg"] for r in plain} == {"a X b", "none here"}
+    assert {(r["msg"], r["mk"]) for r in tracked} == {
+        ("a X b", "foo"), ("none here", None),
+    }
