@@ -99,8 +99,12 @@ def minhash_signature(shingles: Column, num_hashes: int = 8) -> List[Column]:
 # quality scoring
 # ---------------------------------------------------------------------------
 
-DEFAULT_STOPWORDS = (
-    "the a an and or of to in is are was for on with as by at it this that",
+#: a real word tuple (code-review r7: a trailing comma had made this a
+#: 1-tuple holding one 40-char space-joined "word" — any consumer
+#: iterating it as a stopword list silently matched nothing)
+DEFAULT_STOPWORDS = tuple(
+    "the a an and or of to in is are was for on with as by at it this that"
+    .split()
 )
 
 

@@ -158,14 +158,20 @@ def lsh_candidate_pairs(
     scale; set it when running over a real crawl.
     """
     banded = _band_signatures(sigs, id_col, num_hashes, band_size)
-    if max_bucket is not None:
-        banded = _cap_buckets(banded, ["band_idx", "band_key"], max_bucket)
-    # the self-join would otherwise recompute the whole signature subtree
-    # for both sides (verified via explain) — materialize it once.
+    # materialize BEFORE the cap and the self-join: _cap_buckets references
+    # the frame twice (width count + anti-join probe) and the self-join
+    # twice more — without the checkpoint the whole corpus-wide
+    # explode+md5+groupBy signature subtree re-executes per reference
+    # (the same shape embedding_cosine_pairs fixed in r6; this path was
+    # left double-scanning when capped — code-review r7).
     # localCheckpoint, NOT persist: the block is released by the
     # ContextCleaner when the frame is GC'd, so a long-running driver
     # doesn't leak cached partitions (round-1 judge finding #5)
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket is not None:
+        banded = _cap_buckets(
+            banded, ["band_idx", "band_key"], max_bucket
+        ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -210,7 +216,15 @@ def lsh_candidate_pairs_cross(
     """
     cb = _band_signatures(sigs_corpus, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        cb = _cap_buckets(cb, ["band_idx", "band_key"], max_bucket)
+        # checkpoint BEFORE the cap: _cap_buckets reads the frame twice
+        # (width count + anti-join probe) and would otherwise re-execute
+        # the corpus-wide signature subtree (code-review r7). Uncapped,
+        # the corpus bands are read exactly once — no checkpoint needed.
+        cb = _cap_buckets(
+            cb.localCheckpoint(eager=False),
+            ["band_idx", "band_key"],
+            max_bucket,
+        )
     pb = _band_signatures(sigs_probe, id_col, num_hashes, band_size)
     return (
         cb.alias("l")

@@ -36,9 +36,12 @@ Pairs = Sequence[Tuple[str, Any]]
 #: above this many entries the exact strategy switches from a plan-embedded
 #: map literal to a broadcast hash join (join plane)
 MAP_LITERAL_MAX_ENTRIES = 512
-#: above this many patterns the regex strategy switches from a Catalyst
-#: ``when`` chain to the vectorized pandas UDF
-WHEN_CHAIN_MAX_PATTERNS = 0  # default: always use the UDF; chain kept for tiny dicts via option
+# NOTE (code-review r7): build_strategy always selects the Arrow-UDF
+# regex planes; the codegen-only RegexFirstMatch.when_chain_expr plane is
+# reachable only by direct call (tests exercise it) and exists as the
+# zero-Python option for tiny pattern sets — there is deliberately NO
+# threshold constant wired into strategy selection (a stale one used to
+# sit here implying otherwise).
 
 
 def ruby_to_s(value: Any) -> str:
