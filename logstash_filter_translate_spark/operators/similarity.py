@@ -122,6 +122,11 @@ def brute_force_topk(
         via an explicit any-null vote in the aggregate — F.sum alone
         would silently skip the term and emit a finite, competitive
         score the SQL oracle disagrees with);
+      - a LENGTH-MISMATCHED pair scores NULL on both planes (the fold
+        via zip_with's NULL padding; the explode plane via an explicit
+        width-equality gate — its inner position join would otherwise
+        silently truncate to the shared prefix and emit a finite, wrong
+        score);
       - a NULL or EMPTY embedding produces no exploded rows, so it never
         ranks on the explode plane; the fold carries it at score=NULL,
         which ranks (NULLS LAST) only when a query has fewer than k
@@ -141,7 +146,9 @@ def brute_force_topk(
             query_id_col, F.posexplode("__qvec").alias("__pos", "__qv")
         ).withColumn("__qv", F.col("__qv").cast("double"))
         ce = corpus.select(
-            id_col, F.posexplode(vec_col).alias("__pos", "__cv")
+            id_col,
+            F.size(vec_col).alias("__csz"),
+            F.posexplode(vec_col).alias("__pos", "__cv"),
         ).withColumn("__cv", F.col("__cv").cast("double"))
         sums = (
             ce.join(F.broadcast(qe), "__pos")
@@ -155,9 +162,14 @@ def brute_force_topk(
                 F.max(
                     F.col("__cv").isNull() | F.col("__qv").isNull()
                 ).alias("__anynull"),
+                F.max("__csz").alias("__csz"),
             )
         )
-        qn = q.select(query_id_col, norm(F.col("__qvec")).alias("__nb"))
+        qn = q.select(
+            query_id_col,
+            norm(F.col("__qvec")).alias("__nb"),
+            F.size("__qvec").alias("__qsz"),
+        )
         scored = (
             sums.join(F.broadcast(qn), query_id_col)
             .filter(F.col(id_col) != F.col(query_id_col))
@@ -165,7 +177,11 @@ def brute_force_topk(
                 query_id_col,
                 id_col,
                 F.when(
-                    ~F.col("__anynull"),
+                    # length-mismatch parity with the fold: the inner
+                    # __pos join silently truncates to the shared prefix
+                    # (a finite, WRONG score); zip_with pads with NULL →
+                    # NULL — require equal widths like the fold does
+                    ~F.col("__anynull") & (F.col("__csz") == F.col("__qsz")),
                     # try_divide: zero-norm → NULL, same as cosine()
                     F.try_divide(
                         F.col("__d"), F.sqrt("__na") * F.col("__nb")

@@ -516,3 +516,26 @@ def test_zero_norm_vector_scores_null_not_divide_by_zero(spark):
         for r in embedding_cosine_pairs(emb, planes, threshold=0.0).collect()
     }
     assert not any(2 in p for p in pairs)  # NULL cos -> filtered, no throw
+
+
+def test_brute_force_topk_explode_length_mismatch_parity(spark):
+    """code-review r7: the explode plane's inner position join silently
+    truncated a length-mismatched vector to the shared prefix - a
+    finite, wrong, competitive score where the fold (zip_with NULL
+    padding) yields NULL. Both planes must exclude it."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [1.0, 0.0, 0.0]),   # longer: prefix would score a perfect 1.0
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for plane in ("fold", "explode"):
+        got = [
+            (r["rank"], r["vec_id"])
+            for r in brute_force_topk(emb, queries, k=2, plane=plane).collect()
+        ]
+        assert got == [(1, 1), (2, 3)], (plane, got)
