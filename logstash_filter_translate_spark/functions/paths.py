@@ -33,10 +33,20 @@ def is_nested(name: str) -> bool:
     return len(parse_path(name)) > 1
 
 
+def _quote_top(seg: str) -> str:
+    """Backtick-quote a top-level name containing dots (or backticks):
+    a bracketed ``[a.b]`` segment is ONE literal field in Logstash, but a
+    bare ``F.col("a.b")`` would parse the dot as struct nesting
+    (code-review r7)."""
+    if "." in seg or "`" in seg:
+        return "`" + seg.replace("`", "``") + "`"
+    return seg
+
+
 def path_col(path: List[str]) -> Column:
     """Read column for a parsed path; all-digit segments index into arrays
     (0-based, like Logstash field references)."""
-    col = F.col(path[0])
+    col = F.col(_quote_top(path[0]))
     for seg in path[1:]:
         if seg.isdigit():
             col = F.try_element_at(col, F.lit(int(seg) + 1))

@@ -22,6 +22,9 @@ from typing import List, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .paths import parse_path, path_col, path_type
 
 _FIELD_REF = re.compile(r"%\{([^}]+)\}")
 
@@ -157,11 +160,13 @@ def _time_ref_column(pattern: str, ts_col: str, literal: str) -> Column:
 
 
 def _field_to_column(name: str) -> Column:
-    """``[a][b]`` nested refs -> ``a.b``; bare names pass through."""
-    if name.startswith("[") and name.endswith("]"):
-        parts = [p for p in re.split(r"\]\[|\[|\]", name) if p]
-        return F.col(".".join(parts))
-    return F.col(name)
+    """Field reference → read column, via the canonical path machinery
+    (functions/paths.py) instead of a local dotted-string rewrite: the
+    old ``F.col("a.b")`` form broke array-index refs (``[tags][0]``
+    became field '0' of an array), dotted bracketed segments (``[a.b]``
+    is ONE literal field in Logstash), and dotted bare names
+    (code-review r7)."""
+    return path_col(parse_path(name))
 
 
 def sprintf_fields(
@@ -174,14 +179,7 @@ def sprintf_fields(
     out: List[str] = []
     for m in _FIELD_REF.finditer(template):
         name = m.group(1)
-        if name.startswith("+"):
-            top = ts_col
-        else:
-            top = (
-                name[1:].split("]", 1)[0]
-                if name.startswith("[")
-                else name.split("[", 1)[0]
-            )
+        top = ts_col if name.startswith("+") else parse_path(name)[0]
         if top and top not in out:
             out.append(top)
     return out
@@ -191,15 +189,22 @@ def compile_sprintf(
     template: str,
     columns: Optional[List[str]] = None,
     ts_col: str = DEFAULT_TS_COL,
+    schema: Optional[T.StructType] = None,
 ) -> Column:
     """Compile a sprintf template to a Column.
 
-    ``columns`` — when given (the DataFrame's schema), references to columns
-    not in it resolve to the literal ``%{name}`` (Logstash leaves missing
-    fields un-spliced) instead of an analysis error. ``%{+FORMAT}`` time
-    references format ``ts_col`` (the frame's event-time column); they too
-    degrade to the literal when that column is absent.
+    ``columns`` — when given (the DataFrame's column names), references to
+    columns not in it resolve to the literal ``%{name}`` (Logstash leaves
+    missing fields un-spliced) instead of an analysis error. ``schema`` —
+    when given, the FULL nested path is checked (``%{[a][missing]}`` with
+    column ``a`` present degrades to the literal instead of an
+    AnalysisException; the old top-level-only check could not see inside
+    structs — code-review r7). ``%{+FORMAT}`` time references format
+    ``ts_col`` (the frame's event-time column); they too degrade to the
+    literal when that column is absent.
     """
+    if schema is not None and columns is None:
+        columns = list(schema.names)
     pieces: List[Column] = []
     pos = 0
     for m in _FIELD_REF.finditer(template):
@@ -213,8 +218,12 @@ def compile_sprintf(
                 pieces.append(_time_ref_column(name[1:], ts_col, m.group(0)))
             pos = m.end()
             continue
-        top = name.split("[", 1)[0] if not name.startswith("[") else name[1:].split("]", 1)[0]
-        if columns is not None and top not in columns:
+        path = parse_path(name)
+        if schema is not None:
+            missing = path_type(schema, path) is None
+        else:
+            missing = columns is not None and path[0] not in columns
+        if missing:
             pieces.append(F.lit(m.group(0)))
         else:
             pieces.append(

@@ -465,6 +465,17 @@ def ngram_jaccard_pairs(
     candidate set already covers (nearly) every document — there the
     reduction is pure overhead (the all-adjacent-pairs audit query is
     the example); the default stays on for the real LSH-candidate shape.
+
+    CONTRACT (code-review r7): every pair endpoint must have ≥1 shingle
+    (≥ ``shingle_n`` tokens) and exist in ``df`` — true by construction
+    for LSH candidates, whose members banded a non-NULL signature. A
+    pair with a shingle-less or absent endpoint is DROPPED by the final
+    inner size-joins, not returned with n_intersect=0; this mirrors the
+    SQL oracles' ``JOIN sizes`` shape exactly (near_dup_keep,
+    dedup_components, fuzzy_contamination), so changing it to a
+    keep-with-zero left join would have to change every oracle in
+    lockstep. Externally-supplied pairs with tiny documents must be
+    pre-filtered by the caller.
     """
     # pairs is referenced 2-3 times (candidate-id set, intersect join,
     # final left join) — materialize once instead of recomputing the LSH

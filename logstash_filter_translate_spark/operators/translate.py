@@ -223,8 +223,10 @@ class Translate:
             return None
         return compile_sprintf(
             self.config.fallback,
-            columns=df.columns,
             ts_col=self.config.ts_field,
+            # full schema: nested refs degrade to the literal when any
+            # LEVEL is missing, not just the top name (code-review r7)
+            schema=df.schema,
         )
 
     def _out_type(self) -> T.DataType:

@@ -321,3 +321,34 @@ def test_html_str_untrusted_handles_malformed_utf8(spark):
     # malformed: decode substitutes U+FFFD; the raw-wrap fast path differs
     assert "�" in out[1]["safe"]
     assert " broken " in out[1]["safe"]
+
+
+def test_sprintf_array_index_dotted_segment_and_nested_missing(spark):
+    """code-review r7: _field_to_column's dotted-string rewrite broke
+    three reference behaviors, all via the canonical path machinery now:
+    %{[tags][0]} indexes the array (event.sprintf supports indices);
+    %{[a.b]} is ONE literal top-level field, not nesting; and
+    %{[a][missing]} with column a present degrades to the literal
+    (full-path existence check) instead of an AnalysisException."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_translate_spark.functions.templates import (
+        compile_sprintf,
+    )
+
+    df = spark.createDataFrame(
+        [(["x", "y"], "dotval", {"k": "v"})],
+        "tags array<string>, `a.b` string, a struct<k string>",
+    )
+    out = df.select(
+        compile_sprintf("first=%{[tags][0]}", schema=df.schema).alias("t0"),
+        compile_sprintf("oob=%{[tags][9]}", schema=df.schema).alias("t9"),
+        compile_sprintf("dot=%{[a.b]}", schema=df.schema).alias("d"),
+        compile_sprintf("miss=%{[a][missing]}", schema=df.schema).alias("m"),
+        compile_sprintf("ok=%{[a][k]}", schema=df.schema).alias("n"),
+    ).collect()[0]
+    assert out["t0"] == "first=x"
+    assert out["t9"] == "oob=%{[tags][9]}"   # out-of-bounds -> literal
+    assert out["d"] == "dot=dotval"
+    assert out["m"] == "miss=%{[a][missing]}"
+    assert out["n"] == "ok=v"
