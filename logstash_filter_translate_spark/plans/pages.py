@@ -111,8 +111,14 @@ def generate_pages(
     )
 
     n_collab = F.pmod(i * 23 + 3, F.lit(7)).cast("int")  # 0..6 elements
+    # guard the n=0 case: sequence(1,0) DESCENDS to [1,0] (CLAUDE.md
+    # invariant), which handed ~1/7 of rows two phantom collaborators
+    # instead of an empty array (code-review r7)
+    collab_range = F.when(
+        n_collab > 0, F.sequence(F.lit(1), n_collab)
+    ).otherwise(F.array().cast("array<int>"))
     collab_ids = F.transform(
-        F.sequence(F.lit(1), n_collab),
+        collab_range,
         lambda j: F.element_at(
             pool, (F.pmod(i * 13 + j * 7, F.lit(len(COLLAB_POOL))) + 1).cast("int")
         ),

@@ -2224,8 +2224,11 @@ def q_streaming_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through a symlinked dir
     src_dir = os.path.join(tmp, "src")
     os.makedirs(src_dir, exist_ok=True)
+    # abspath: a relative sf_dir would make the link target resolve
+    # relative to the SYMLINK'S directory and dangle (code-review r7)
     os.symlink(
-        f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet")
+        os.path.abspath(f"{sf_dir}/events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
     )
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(src_dir)
@@ -2344,7 +2347,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_dir = os.path.join(tmp, "src")
     os.makedirs(src_dir, exist_ok=True)
     os.symlink(
-        f"{sf_dir}/documents.parquet",
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
         os.path.join(src_dir, "documents.parquet"),
     )
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema

@@ -337,10 +337,18 @@ class DictionaryFile:
                 if k not in seen:
                     order.append(k)
                     seen.add(k)
-            self._pairs = [(k, merged[k]) for k in order]
-            self._by_key = merged
+            result = [(k, merged[k]) for k in order]
         else:  # replace
-            self._pairs = list(new_pairs)
-            self._by_key = dict(new_pairs)
+            result = list(new_pairs)
+        # content-compare before bumping (code-review r7): without it,
+        # every scheduler tick past the mtime short-circuit (interval >
+        # MTIME_CHECK_MAX_INTERVAL), and every touch that rewrote
+        # identical bytes, reported changed=True — and Translate.refresh
+        # rebuilt the strategy and callers re-broadcast, forever, for
+        # nothing. The version is the CONTENT version (reload() contract).
         self._loaded_mtime = mtime
+        if result == self._pairs:
+            return
+        self._pairs = result
+        self._by_key = dict(result)
         self.version += 1

@@ -126,3 +126,50 @@ def test_regex_strategy_rebuilt_on_reload(spark, tmp_path):
     assert op.refresh() is True
     second = {r["k"]: r["translation"] for r in op.apply(df).collect()}
     assert second == {"abc": None, "zbc": "second"}
+
+
+def test_identical_content_rewrite_is_not_a_change(tmp_path):
+    """code-review r7: the version is the CONTENT version — a rewrite of
+    identical bytes (config-management touch, or every tick when the
+    interval exceeds the mtime short-circuit) must not report a change,
+    or Translate.refresh() rebuilds and re-broadcasts forever."""
+    p = str(tmp_path / "d.csv")
+    _write(p, "a,1\nb,2\n")
+    df = DictionaryFile(p, refresh_behaviour="replace", refresh_interval=1)
+    v0 = df.version
+    _write(p, "a,1\nb,2\n")  # same content, new mtime
+    assert df.reload() is False
+    assert df.version == v0
+    assert df.reload(force=True) is False  # even forced: content decides
+    _write(p, "a,1\nb,3\n")
+    assert df.reload() is True
+    assert df.version == v0 + 1
+
+
+def test_refresh_scheduler_restarts_after_stop(tmp_path):
+    """code-review r7: stop() left the stop event set, so a second
+    start() spawned a thread that exited immediately and the dictionary
+    silently never refreshed again."""
+    from logstash_filter_translate_spark.streaming.scheduler import (
+        RefreshScheduler,
+    )
+
+    class _Op:
+        def __init__(self):
+            self.calls = 0
+
+        def refresh(self):
+            self.calls += 1
+            return False
+
+    op = _Op()
+    sched = RefreshScheduler(op, interval=0.05)
+    sched.start()
+    time.sleep(0.2)
+    sched.stop()
+    after_stop = op.calls
+    assert after_stop >= 1
+    sched.start()
+    time.sleep(0.3)
+    sched.stop()
+    assert op.calls > after_stop
