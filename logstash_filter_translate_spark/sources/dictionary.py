@@ -187,6 +187,16 @@ def _load_yaml_streaming(content: str, path: str) -> Optional[Pairs]:
                 depth -= 1
             elif isinstance(event, (yaml.SequenceStartEvent,)):
                 return None
+            elif isinstance(event, yaml.AliasEvent):
+                # *x alias values need anchor resolution — one_shot's
+                # composer does it; consuming the event here silently
+                # DROPPED the aliased pair (code-review r7)
+                return None
+            elif isinstance(event, yaml.ScalarEvent) and depth == 0:
+                # a root-scalar document is not a mapping: fall back so
+                # one_shot raises the contract's DictionaryLoadError
+                # instead of this parser returning an empty dict
+                return None
             elif isinstance(event, yaml.ScalarEvent) and depth == 1:
                 quoted = event.style in ("'", '"')
                 if key is None:

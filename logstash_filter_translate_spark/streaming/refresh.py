@@ -19,6 +19,7 @@ a batch id column).
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from typing import Callable, Optional
 
@@ -90,13 +91,22 @@ def run_streaming_pipeline(
         # idempotent replay: __batch_id leads the partition spec and the
         # write is a DYNAMIC partition overwrite, so a restarted in-flight
         # batch rewrites exactly its own partitions instead of appending a
-        # duplicate copy (no reader-side dedup needed)
+        # duplicate copy (no reader-side dedup needed). Dynamic overwrite
+        # alone is NOT enough (code-review r7): it only replaces partitions
+        # PRESENT in the retry, so a route that existed in the failed
+        # attempt but routes differently after a between-attempt dictionary
+        # refresh would leave its stale sub-partition behind — drop the
+        # whole __batch_id=N subtree first (idempotent, local-fs sink).
+        routed = os.path.join(out_dir, "routed")
+        stale = os.path.join(routed, f"__batch_id={batch_id}")
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
         (
             out.withColumn("__batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id", *partition_cols)
-            .parquet(os.path.join(out_dir, "routed"))
+            .parquet(routed)
         )
 
     writer = (

@@ -173,3 +173,29 @@ def test_refresh_scheduler_restarts_after_stop(tmp_path):
     time.sleep(0.3)
     sched.stop()
     assert op.calls > after_stop
+
+
+def test_yaml_streaming_equals_one_shot_on_aliases_and_root_scalar(tmp_path):
+    """code-review r7: the streaming event parser silently dropped
+    alias-valued pairs ('b: *x' vanished) and accepted a root-scalar
+    document as an empty dict. Both now fall back to one_shot: aliases
+    resolve, non-mapping documents raise — the two strategies stay
+    contract-identical."""
+    from logstash_filter_translate_spark.sources.dictionary import load_yaml
+
+    p = str(tmp_path / "d.yml")
+    with open(p, "w") as fh:
+        fh.write("a: &x 1\nb: *x\n")
+    assert (
+        load_yaml(p, strategy="streaming")
+        == load_yaml(p, strategy="one_shot")
+        == [("a", 1), ("b", 1)]
+    )
+
+    scalar = str(tmp_path / "s.yml")
+    with open(scalar, "w") as fh:
+        fh.write("hello\n")
+    with pytest.raises(DictionaryLoadError):
+        load_yaml(scalar, strategy="one_shot")
+    with pytest.raises(DictionaryLoadError):
+        load_yaml(scalar, strategy="streaming")

@@ -300,3 +300,53 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
         if p["stateOperators"]
     )
     assert dropped >= 1  # the late 10:02 row was discarded by watermark
+
+
+def test_replayed_batch_clears_stale_route_partitions(spark, tmp_path):
+    """code-review r7: dynamic partition overwrite only rewrites
+    partitions PRESENT in the retry. If a batch is replayed after a
+    dictionary refresh changed its routing, the failed attempt's
+    now-empty route sub-partition must not survive and double-count.
+    Simulated by deleting the checkpoint (forcing a batch-0 replay)
+    after swapping the dictionary so the fallback route disappears."""
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    dict_path = str(tmp_path / "d.csv")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_dict(dict_path, "a,1\n")
+    spark.createDataFrame([("a",), ("z",)], "k string").write.parquet(src_dir)
+
+    def run():
+        st = StreamingTranslate(
+            TranslateConfig(
+                source="k", dictionary_path=dict_path, fallback="fb",
+                refresh_behaviour="replace",
+            ),
+            spark,
+        )
+        stream = spark.readStream.schema("k string").parquet(src_dir)
+        q = run_streaming_pipeline(
+            spark, stream, st, out_dir, ckpt, refresh_every_batch=True
+        )
+        q.awaitTermination(120)
+
+    run()  # attempt 1: z -> fallback partition exists
+    routed = os.path.join(out_dir, "routed")
+    assert os.path.isdir(os.path.join(routed, "__batch_id=0", "route=fallback"))
+
+    # crash-before-commit: checkpoint gone, batch 0 will replay; the
+    # dictionary now covers z, so no fallback partition should remain
+    shutil.rmtree(ckpt)
+    _write_dict(dict_path, "a,1\nz,9\n")
+    run()  # attempt 2 (replay)
+
+    got = {
+        (r["k"], r["route"])
+        for r in spark.read.parquet(routed).select("k", "route").collect()
+    }
+    assert got == {("a", "matched"), ("z", "matched")}
+    assert not os.path.isdir(
+        os.path.join(routed, "__batch_id=0", "route=fallback")
+    )
