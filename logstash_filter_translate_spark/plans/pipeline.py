@@ -225,8 +225,16 @@ def salted_agg_count(
     groupBy(keys) final. Spark's hash agg already partials map-side, so this
     is for documentation/benchmark parity and for aggs WITHOUT map-side
     combine (collect_list/distinct) where a hot key genuinely melts one
-    reducer."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    reducer.
+
+    The salt is per-ROW (monotonically_increasing_id round-robins each
+    partition's rows across every bucket), not a hash of the row's
+    columns: the hot key this function exists for often carries
+    byte-identical payloads, and a content hash would collapse all its
+    rows into ONE salt bucket — recreating the single-reducer meltdown
+    (code-review r7). The salt value never reaches the result (counts
+    re-merge in phase 2), so task retries are safe."""
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     partial = df.withColumn("__salt", salt).groupBy(*key_cols, "__salt").agg(
         F.count("*").alias("__pc")
     )
@@ -250,9 +258,15 @@ def salted_broadcast_free_join(
     """
     spark = probe.sparkSession
     salts = spark.range(salt_buckets).select(F.col("id").cast("int").alias("__salt"))
+    # per-ROW salt (not a content hash): the hot key this join defends
+    # against often repeats byte-identical payloads, and hashing the
+    # columns would send ALL of them to one salt bucket — the meltdown
+    # this function exists to prevent. The build side is replicated
+    # across every salt, so any per-row value joins correctly and the
+    # salt never reaches the output (code-review r7).
     probe_s = probe.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt_buckets))
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
         .cast("int"),
     )
     build_s = build.crossJoin(salts)

@@ -113,7 +113,15 @@ def _values_cte(name: str, pairs) -> str:
 #: S7 seam: table format for every query scan — "parquet" (sandbox
 #: default) or "iceberg" (when the runtime ships the jars; sf_dir is then
 #: a catalog namespace like ``local.sf001`` and tables resolve to
-#: ``local.sf001.events``). One env switch, zero per-query code.
+#: ``local.sf001.events``). One env switch for every _load() scan.
+#: KNOWN EXCEPTIONS (code-review r7): three queries use
+#: filesystem-native machinery around the seam and stay parquet-path —
+#: q_streaming_exact / q_streaming_dedup (FileStreamSource over a
+#: symlinked directory; Iceberg streaming reads use a different source
+#: entirely) and q_similarity_ivf_indexed (a /tmp parquet index
+#: PARTITIONED BY cell; on Iceberg the index would be an identity-
+#: partitioned table, docs/ICEBERG.md). Under LFTS_TABLE_FORMAT=iceberg
+#: those three need the documented per-query adaptation, not zero code.
 TABLE_FORMAT = os.environ.get("LFTS_TABLE_FORMAT", "parquet")
 
 
@@ -1994,7 +2002,26 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
     )
     if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
-        write_ivf_index(emb, centroids, index_path)
+        # cross-process guard (code-review r7): two first runs (selfcheck
+        # + pytest) used to race Spark overwrites on the SAME directory —
+        # build pid-scoped, then atomically rename into place; if another
+        # process won the rename, use its (complete, _SUCCESS-marked)
+        # index and discard ours
+        import shutil
+
+        build_path = f"{index_path}.build{os.getpid()}"
+        write_ivf_index(emb, centroids, build_path)
+        try:
+            os.rename(build_path, index_path)
+        except OSError:
+            if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+                # stale incomplete leftover (killed run) — replace it
+                shutil.rmtree(index_path, ignore_errors=True)
+                try:
+                    os.rename(build_path, index_path)
+                except OSError:
+                    pass  # lost a second race: the winner's is complete
+            shutil.rmtree(build_path, ignore_errors=True)
     return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
 
 

@@ -187,3 +187,25 @@ def test_checkpoint_stage_resumes(spark, tmp_path):
     assert total == m1["rows"] == 1000
     # per-partition lineage column present in the staged frame
     assert "__part_id" in staged.columns
+
+
+def test_salting_spreads_byte_identical_hot_rows(spark):
+    """code-review r7: both salted planes derived the salt from a hash of
+    ALL columns, so a hot key with byte-identical payloads (the classic
+    boilerplate case) collapsed into ONE salt bucket - recreating the
+    single-reducer meltdown they exist to prevent. The per-row salt must
+    spread identical rows across buckets, and results stay exact."""
+    import logstash_filter_translate_spark.plans.pipeline as P
+
+    hot = spark.range(0, 4000).select(F.lit("hot").alias("lang"))
+    agg = P.salted_agg_count(hot, ["lang"], 8)
+    assert {(r["lang"], r["cnt"]) for r in agg.collect()} == {("hot", 4000)}
+    # the partial phase must see >1 salt bucket for identical rows
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(8))
+    n_buckets = hot.select(salt.alias("s")).distinct().count()
+    assert n_buckets > 1
+
+    dim = spark.createDataFrame([("hot", "H")], "k string, v string")
+    joined = P.salted_broadcast_free_join(hot, dim, "lang", "k", 8)
+    assert joined.count() == 4000
+    assert joined.select("v").distinct().collect()[0]["v"] == "H"
