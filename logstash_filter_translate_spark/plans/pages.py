@@ -139,9 +139,11 @@ def generate_pages(
 
 
 #: bumped whenever write_pages_corpus changes the on-disk layout
-#: (codec/row groups) so bench caches regenerate instead of silently
-#: measuring the previous format
-CORPUS_FORMAT_TAG = "v4snappy"
+#: (codec/row groups) OR the generated CONTENT (v5: the sequence(1,0)
+#: guard removed the phantom collaborators) so bench caches regenerate
+#: instead of silently measuring the previous corpus — and so the file
+#: and gen variants keep reading IDENTICAL data
+CORPUS_FORMAT_TAG = "v5snappy"
 
 
 def write_pages_corpus(
