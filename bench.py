@@ -246,7 +246,7 @@ SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_4N = 4 * SCALE_N
 
 #: artifacts written by this bench run are tagged with the current round
-ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r7")
+ROUND_TAG = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r8")
 
 #: every artifact kind this run may write — the collision suffix is
 #: resolved ONCE across all of them (round-6 advice: per-kind resolution
@@ -909,15 +909,32 @@ def render_stdout_line(payload: dict) -> str:
         payload["extras"]["scaling"] = scaling
     trimmed = []
     for key in _TRIM_ORDER:
+        # pop from EVERY container holding the key (a key present in
+        # both scaling and extras used to survive in one of them), and
+        # skip the re-dump entirely when nothing was removed this
+        # iteration (code-review r8)
+        found = False
         for container in (scaling or {}, payload["extras"]):
             if key in container:
                 container.pop(key)
-                trimmed.append(key)
-                break
+                found = True
+        if not found:
+            continue
+        trimmed.append(key)
         payload["extras"]["trimmed_for_size"] = trimmed
         line = json.dumps(payload)
         if len(line) <= STDOUT_LINE_LIMIT:
             return line
+    # every trim exhausted and still over-limit: flag it so a driver-side
+    # parse failure is attributable, and say so on stderr
+    payload["extras"]["stdout_line_overflow"] = len(line)
+    line = json.dumps(payload)
+    print(
+        f"WARNING: stdout JSON line {len(line)} chars exceeds "
+        f"STDOUT_LINE_LIMIT={STDOUT_LINE_LIMIT} after all trims",
+        file=sys.stderr,
+        flush=True,
+    )
     return line
 
 

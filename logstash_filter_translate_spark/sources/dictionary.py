@@ -357,7 +357,15 @@ class DictionaryFile:
         # rebuilt the strategy and callers re-broadcast, forever, for
         # nothing. The version is the CONTENT version (reload() contract).
         self._loaded_mtime = mtime
-        if result == self._pairs:
+        # type-aware equality (code-review r8): Python == treats
+        # 1 == 1.0 == True, so a reload that only flipped a value's
+        # YAML type (1 -> 1.0, true -> 1) would compare equal, skip the
+        # version bump, and keep the stale typed value in the built
+        # strategy until an unrelated edit.
+        def _typed(pairs):
+            return [(k, type(v), v) for k, v in pairs]
+
+        if _typed(result) == _typed(self._pairs):
             return
         self._pairs = result
         self._by_key = dict(result)

@@ -146,6 +146,30 @@ def test_identical_content_rewrite_is_not_a_change(tmp_path):
     assert df.version == v0 + 1
 
 
+def test_value_type_flip_is_a_change(tmp_path):
+    """code-review r8 (ADVICE r7): Python == treats 1 == 1.0 == True, so
+    a reload that only flips a YAML value's TYPE used to compare equal,
+    skip the version bump, and serve the stale typed value forever."""
+    p = str(tmp_path / "d.yml")
+    _write(p, "a: 1\n")
+    df = DictionaryFile(p, refresh_behaviour="replace", refresh_interval=1)
+    assert df.pairs == [("a", 1)]
+    v0 = df.version
+    _write(p, "a: 1.0\n")
+    st = os.stat(p)
+    os.utime(p, (st.st_atime, st.st_mtime + 2))
+    assert df.reload() is True
+    assert df.version == v0 + 1
+    (_, v), = df.pairs
+    assert isinstance(v, float)
+    # and the boolean flavor: true == 1 in Python, still a change
+    _write(p, "a: true\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 4))
+    assert df.reload() is True
+    assert df.version == v0 + 2
+    assert df.pairs == [("a", True)]
+
+
 def test_refresh_scheduler_restarts_after_stop(tmp_path):
     """code-review r7: stop() left the stop event set, so a second
     start() spawned a thread that exited immediately and the dictionary
