@@ -540,6 +540,12 @@ def ngram_jaccard_pairs(
 #: so billions of members at 10^10 docs) forces the shuffle plane.
 BROADCAST_MEMBER_LIMIT = 10_000_000
 
+#: diagnostic: iterations the last connected_components call took to
+#: reach its fixpoint (driver-side scalar; set on success). Lets tests
+#: and tools/stress_components.py report convergence rounds without
+#: changing the function's return type.
+LAST_CC_ITERATIONS = 0
+
 
 def connected_components(
     nodes: DataFrame,
@@ -548,6 +554,7 @@ def connected_components(
     max_iterations: int = 50,
     broadcast_members: Optional[bool] = None,
     broadcast_member_limit: int = BROADCAST_MEMBER_LIMIT,
+    pointer_jump: bool = False,
 ) -> DataFrame:
     """(id, component) for every node, where component = the MIN node id
     reachable through the undirected ``edges`` (id_a, id_b). The proper
@@ -586,8 +593,17 @@ def connected_components(
       - propagation reaches a fixpoint in <= diameter iterations;
         near-dup clusters are shallow (a dup of a dup of X is usually a
         dup of X), so 3-5 iterations is typical. For adversarial
-        long-chain graphs the large-star/small-star variant halves the
-        diameter per round; not needed for dedup-shaped graphs.
+        long-chain graphs ``pointer_jump=True`` adds a shortcutting
+        step per round (L(v) <- L(L(v)), Shiloach-Vishkin style): the
+        remaining distance to the component min at least halves each
+        round, so convergence is O(log diameter) instead of
+        O(diameter) — a 200-node chain converges in 9 rounds where
+        plain propagation needs 199 (measured,
+        tools/stress_components.py / docs/ROUND8.md). The extra label
+        self-join (one more shuffle of (node, label) longs per round)
+        is wasted on dedup-shaped shallow graphs, hence the flag
+        defaults off; the final returned plan is identical either way
+        (it reads the last label checkpoint), so digests don't move.
       - convergence is checked with ONE scalar count per iteration (rows
         whose label still dropped) — the standard iterative-algorithm
         driver loop; no data ever collects to the driver.
@@ -612,7 +628,7 @@ def connected_components(
         # size-gate the singleton-re-entry broadcast on a MEASURED count
         # (labels is checkpointed: this scans cached longs, no recompute)
         broadcast_members = labels.count() <= broadcast_member_limit
-    for _ in range(max_iterations):
+    for iteration in range(1, max_iterations + 1):
         neigh = sym.join(
             labels.withColumnRenamed("__node", "__dst"), "__dst"
         ).select(F.col("__src").alias("__node"), "__comp")
@@ -620,8 +636,22 @@ def connected_components(
             labels.unionByName(neigh)
             .groupBy("__node")
             .agg(F.min("__comp").alias("__comp"))
-            .localCheckpoint()
         )
+        if pointer_jump:
+            # shortcutting: L(v) <- L(L(v)). Every label value is itself
+            # a member node (labels start as the identity and min only
+            # ever selects existing labels), so the self-join is total;
+            # L(w) <= w makes the step monotone non-increasing, and any
+            # combined fixpoint is also a propagation fixpoint, so the
+            # converged labels are the same component minima.
+            parent = new_labels.select(
+                F.col("__node").alias("__comp"),
+                F.col("__comp").alias("__jump"),
+            )
+            new_labels = new_labels.join(parent, "__comp").select(
+                "__node", F.col("__jump").alias("__comp")
+            )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("__comp", "__old"), "__node"
@@ -631,6 +661,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            global LAST_CC_ITERATIONS
+            LAST_CC_ITERATIONS = iteration
             break
     else:
         raise RuntimeError(
