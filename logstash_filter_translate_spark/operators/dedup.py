@@ -16,7 +16,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List, Optional, Union
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -546,6 +546,14 @@ BROADCAST_MEMBER_LIMIT = 10_000_000
 #: changing the function's return type.
 LAST_CC_ITERATIONS = 0
 
+#: round at which ``pointer_jump="auto"`` escalates: dedup-shaped
+#: near-dup graphs fixpoint in 3-5 rounds, so a graph still moving at
+#: round 8 is deep (a chain/path pathology, not a dup cluster) and the
+#: O(log diameter) shortcutting plane takes over. Until then auto is
+#: byte-identical to the plain plane — shallow graphs never pay the
+#: extra label self-join.
+POINTER_JUMP_ESCALATION_ROUND = 8
+
 
 def connected_components(
     nodes: DataFrame,
@@ -554,7 +562,7 @@ def connected_components(
     max_iterations: int = 50,
     broadcast_members: Optional[bool] = None,
     broadcast_member_limit: int = BROADCAST_MEMBER_LIMIT,
-    pointer_jump: bool = False,
+    pointer_jump: Union[bool, str] = "auto",
 ) -> DataFrame:
     """(id, component) for every node, where component = the MIN node id
     reachable through the undirected ``edges`` (id_a, id_b). The proper
@@ -597,13 +605,23 @@ def connected_components(
         step per round (L(v) <- L(L(v)), Shiloach-Vishkin style): the
         remaining distance to the component min at least halves each
         round, so convergence is O(log diameter) instead of
-        O(diameter) — a 200-node chain converges in 9 rounds where
-        plain propagation needs 199 (measured,
-        tools/stress_components.py / docs/ROUND8.md). The extra label
-        self-join (one more shuffle of (node, label) longs per round)
-        is wasted on dedup-shaped shallow graphs, hence the flag
-        defaults off; the final returned plan is identical either way
-        (it reads the last label checkpoint), so digests don't move.
+        O(diameter) — a 200-node chain converges in 8 rounds / 8.5 s
+        where plain propagation needs 200 rounds / 43.5 s (measured,
+        tools/stress_components.py → BENCH/STRESS_CC_r8.json). The
+        extra label self-join (one more shuffle of (node, label) longs
+        per round) is wasted on dedup-shaped shallow graphs, so the
+        default is ``"auto"``: plain until
+        ``POINTER_JUMP_ESCALATION_ROUND`` rounds have passed without a
+        fixpoint — which shallow dup graphs never reach, keeping them
+        byte-identical to plain — then shortcutting takes over, so a
+        deep pathological graph self-remedies instead of burning the
+        iteration budget and raising (the same caller-shouldn't-have-
+        to-know doctrine as the size-gated broadcast above and
+        similarity's plane="auto"). ``False`` forces plain (the
+        RuntimeError bound then measures true diameter); ``True``
+        shortcuts from round 1. The final returned plan is identical
+        on every setting (it reads the last label checkpoint), so
+        digests don't move.
       - convergence is checked with ONE scalar count per iteration (rows
         whose label still dropped) — the standard iterative-algorithm
         driver loop; no data ever collects to the driver.
@@ -637,7 +655,11 @@ def connected_components(
             .groupBy("__node")
             .agg(F.min("__comp").alias("__comp"))
         )
-        if pointer_jump:
+        jump_now = pointer_jump is True or (
+            pointer_jump == "auto"
+            and iteration > POINTER_JUMP_ESCALATION_ROUND
+        )
+        if jump_now:
             # shortcutting: L(v) <- L(L(v)). Every label value is itself
             # a member node (labels start as the identity and min only
             # ever selects existing labels), so the self-join is total;

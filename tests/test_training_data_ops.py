@@ -398,20 +398,32 @@ def test_connected_components_adversarial_chain_pointer_jump(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    # plain propagation: diameter 199 >> 10 rounds -> must raise, never
-    # return a silently-unmerged labeling
+    # plain propagation (pointer_jump=False forces it): diameter 199 >>
+    # 10 rounds -> must raise, never return a silently-unmerged labeling
     with pytest.raises(RuntimeError, match="no fixpoint"):
         connected_components(
-            nodes, edges, id_col="doc_id", max_iterations=10
+            nodes, edges, id_col="doc_id", max_iterations=10,
+            pointer_jump=False,
         )
-    # pointer_jump: converges within ~log2(199)+1 rounds and labels the
-    # whole chain with the min id
+    # pointer_jump=True: converges within ~log2(199)+1 rounds and labels
+    # the whole chain with the min id
     out = connected_components(
         nodes, edges, id_col="doc_id", pointer_jump=True,
         max_iterations=15,
     )
     assert out.filter("component = 0").count() == n
     assert dedup.LAST_CC_ITERATIONS <= 10
+    # the DEFAULT ("auto") self-remedies: plain through the escalation
+    # round (shallow graphs never pay the jump join), then shortcutting
+    # — the deep chain converges inside the default budget with no
+    # caller knowledge of the graph's diameter
+    out_auto = connected_components(nodes, edges, id_col="doc_id")
+    assert out_auto.filter("component = 0").count() == n
+    assert (
+        dedup.POINTER_JUMP_ESCALATION_ROUND
+        < dedup.LAST_CC_ITERATIONS
+        <= 18
+    )
 
 
 def test_lsh_cross_candidates_broadcast_probe_and_match_self_join(spark, docs):
