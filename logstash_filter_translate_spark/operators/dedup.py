@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -622,9 +622,14 @@ def connected_components(
         shortcuts from round 1. The final returned plan is identical
         on every setting (it reads the last label checkpoint), so
         digests don't move.
-      - convergence is checked with ONE scalar count per iteration (rows
-        whose label still dropped) — the standard iterative-algorithm
-        driver loop; no data ever collects to the driver.
+      - convergence costs NO extra job: the union tags self rows, so
+        the min-aggregate recovers each node's previous label in the
+        same pass, and the changed-count (labels that still dropped)
+        rides the checkpoint's materialization as an observed metric
+        (``Observation``). One shuffle + one job per iteration, total
+        — the r7 shape re-joined new-vs-old checkpoints (two extra
+        shuffles and a second job every iteration). Only the scalar
+        reaches the driver.
 
     Raises after ``max_iterations`` without a fixpoint rather than
     returning silently-unmerged components.
@@ -649,11 +654,28 @@ def connected_components(
     for iteration in range(1, max_iterations + 1):
         neigh = sym.join(
             labels.withColumnRenamed("__node", "__dst"), "__dst"
-        ).select(F.col("__src").alias("__node"), "__comp")
+        ).select(
+            F.col("__src").alias("__node"),
+            "__comp",
+            F.lit(False).alias("__self"),
+        )
         new_labels = (
-            labels.unionByName(neigh)
+            labels.select(
+                "__node", "__comp", F.lit(True).alias("__self")
+            )
+            .unionByName(neigh)
             .groupBy("__node")
-            .agg(F.min("__comp").alias("__comp"))
+            .agg(
+                F.min("__comp").alias("__comp"),
+                # every node appears exactly once as its own self row,
+                # so the same pass recovers the PREVIOUS label — the
+                # convergence check needs no join back to the old state
+                # (r8: the old new-vs-old join shuffled both checkpointed
+                # sides and ran a second job every iteration)
+                F.min(
+                    F.when(F.col("__self"), F.col("__comp"))
+                ).alias("__old"),
+            )
         )
         jump_now = pointer_jump is True or (
             pointer_jump == "auto"
@@ -671,16 +693,24 @@ def connected_components(
                 F.col("__comp").alias("__jump"),
             )
             new_labels = new_labels.join(parent, "__comp").select(
-                "__node", F.col("__jump").alias("__comp")
+                "__node", F.col("__jump").alias("__comp"), "__old"
             )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("__comp", "__old"), "__node"
+        # the changed-count rides the checkpoint's own materialization
+        # job as an observed metric — one job per iteration total; the
+        # projection drops __old so the checkpointed state (and the
+        # digest-pinned final plan) stays (__node, __comp)
+        obs = Observation()
+        new_labels = (
+            new_labels.observe(
+                obs,
+                F.sum(
+                    (F.col("__comp") < F.col("__old")).cast("long")
+                ).alias("changed"),
             )
-            .filter(F.col("__comp") < F.col("__old"))
-            .count()
+            .select("__node", "__comp")
+            .localCheckpoint()
         )
+        changed = obs.get["changed"] or 0  # sum over 0 rows is NULL
         labels = new_labels
         if changed == 0:
             global LAST_CC_ITERATIONS

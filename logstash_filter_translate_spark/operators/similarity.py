@@ -374,6 +374,19 @@ def ivf_topk(
     return _cell_scored_topk(cb, qb, id_col, vec_col, query_id_col, k, dim)
 
 
+#: subdirectory inside an IVF index holding the centroids it was built
+#: with. The underscore prefix makes it INVISIBLE to Spark's parquet
+#: reader (the same hidden-path convention as _SUCCESS/_metadata), so
+#: spark.read.parquet(index_path) still yields only corpus rows.
+IVF_CENTROIDS_DIR = "_centroids"
+
+#: bump when the on-disk index layout changes (r8: centroids stored
+#: in-index). Cache keys that fingerprint only the SOURCE data must
+#: include this, or a pre-upgrade cached index gets served to
+#: post-upgrade code (q_similarity_ivf_indexed does).
+IVF_INDEX_FORMAT_VERSION = 2
+
+
 def write_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -386,18 +399,78 @@ def write_ivf_index(
     centroid and write the corpus PARTITIONED BY cell. This is the
     amortized 100 TB pass — one centroid-scoring scan + one shuffle-free
     partitioned write; every subsequent query batch reads only its probed
-    cells' directories (partition pruning, asserted in tests)."""
+    cells' directories (partition pruning, asserted in tests).
+
+    The centroids are persisted INSIDE the index (``_centroids/``,
+    hidden from the corpus read) — the index is self-describing (r8):
+    cell ids are only meaningful relative to the centroid set they were
+    assigned under, so an index queried or appended with a DIFFERENT
+    centroid set probes the wrong cells and silently returns wrong
+    neighbors. Query with ``ivf_topk_indexed(..., centroids=None)`` and
+    grow with ``append_ivf_index`` — both read the stored set."""
     assigned = corpus.join(
         ivf_assign(corpus, centroids, id_col, vec_col, dim), id_col
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids.select(id_col, vec_col).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_centroids_path(path))
+
+
+def _centroids_path(index_path: str) -> str:
+    import os
+
+    return os.path.join(index_path, IVF_CENTROIDS_DIR)
+
+
+def load_ivf_centroids(spark, index_path: str) -> DataFrame:
+    """The centroid set a materialized IVF index was built with (stored
+    by write_ivf_index). Raises with a rebuild hint on a pre-r8 index
+    that predates in-index centroids."""
+    import os
+
+    cpath = _centroids_path(index_path)
+    if not os.path.exists(cpath):
+        raise ValueError(
+            f"IVF index at {index_path} has no stored centroids "
+            f"({IVF_CENTROIDS_DIR}/ missing — built by a pre-r8 "
+            "write_ivf_index?). Rebuild the index, or pass the exact "
+            "build-time centroid frame explicitly."
+        )
+    return spark.read.parquet(cpath)
+
+
+def append_ivf_index(
+    spark,
+    new_corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+) -> None:
+    """Incremental IVF maintenance: assign NEW vectors to cells under the
+    index's own stored centroids and APPEND their files to the existing
+    cell partitions — no rewrite of the standing index. This is the 100
+    TB growth path: a daily embedding increment costs one scoring scan
+    of the increment plus appended files in the touched cell
+    directories, not a full-corpus rebuild. (Cell ids are only
+    meaningful under the build-time centroids, which is why this reads
+    the stored set rather than accepting one — a drifted centroid frame
+    here would scatter new vectors into wrong cells.) Queries see the
+    union immediately: partition pruning is directory-based, and
+    appended files join their cell's directory."""
+    centroids = load_ivf_centroids(spark, path)
+    assigned = new_corpus.join(
+        ivf_assign(new_corpus, centroids, id_col, vec_col, dim), id_col
+    )
+    assigned.write.mode("append").partitionBy("cell").parquet(path)
 
 
 def ivf_topk_indexed(
     spark,
     index_path: str,
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: Optional[DataFrame] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -409,7 +482,16 @@ def ivf_topk_indexed(
     already partitioned by cell, so the co-cell join prunes the scan to
     the ``nprobe`` probed cells per query — dynamic partition pruning
     reuses the broadcast query side as the pruning subquery (no
-    driver-side collect of cell ids needed)."""
+    driver-side collect of cell ids needed).
+
+    ``centroids=None`` (default, r8) probes under the index's OWN stored
+    centroid set (load_ivf_centroids) — the only set its cell ids are
+    meaningful under. Passing a frame explicitly is the escape hatch for
+    pre-r8 indexes; a mismatched set probes the wrong cells and silently
+    returns wrong neighbors, which is exactly the hazard the stored set
+    removes."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, index_path)
     corpus = spark.read.parquet(index_path)
     qb = _query_cells(
         queries, centroids, id_col, vec_col, query_id_col, nprobe, dim

@@ -2029,8 +2029,17 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-partitioned index (write_ivf_index — the amortized 100 TB pass),
     then serve the same queries from it (ivf_topk_indexed; dynamic
     partition pruning restricts the scan to probed cells). Same oracle as
-    similarity_ivf — the index is a layout, not a semantic change."""
-    from ..operators.similarity import ivf_topk_indexed, write_ivf_index
+    similarity_ivf — the index is a layout, not a semantic change. Since
+    r8 the serve side probes under the index's OWN stored centroids
+    (centroids=None → load_ivf_centroids), exercising the
+    self-describing layout end-to-end; the digest change (the query side
+    scans _centroids parquet instead of re-filtering the embeddings
+    table) is intentional and pinned."""
+    from ..operators.similarity import (
+        IVF_INDEX_FORMAT_VERSION,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_STEP == 0)
@@ -2054,8 +2063,13 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif os.path.exists(src):
         st = os.stat(src)
         stats.append(f"{st.st_mtime_ns}:{st.st_size}")
+    # the format version is part of the key: the fingerprint otherwise
+    # only tracks SOURCE content, and a cached pre-upgrade index (no
+    # stored _centroids) would be served to post-upgrade code
     suffix = hashlib.md5(
-        "|".join([sf_dir] + stats).encode()
+        "|".join(
+            [f"v{IVF_INDEX_FORMAT_VERSION}", sf_dir] + stats
+        ).encode()
     ).hexdigest()[:12]
     index_path = os.path.join(
         tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
@@ -2119,7 +2133,7 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break
                     time.sleep(0.1)
             shutil.rmtree(build_path, ignore_errors=True)
-    return ivf_topk_indexed(spark, index_path, queries, centroids, k=5)
+    return ivf_topk_indexed(spark, index_path, queries, k=5)
 
 
 def _sql_similarity_ivf(nprobe: int = 1) -> str:

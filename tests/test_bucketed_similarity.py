@@ -169,6 +169,71 @@ def test_ivf_index_write_read_equals_inline_and_prunes(spark, tmp_path):
     )
 
 
+def test_ivf_index_self_describing_and_incremental_append(spark, tmp_path):
+    """r8: the IVF index is SELF-DESCRIBING — write_ivf_index persists
+    its centroid set in-index (_centroids/, hidden from the corpus read
+    by the underscore convention), ivf_topk_indexed(centroids=None)
+    probes under that stored set, and append_ivf_index grows the index
+    incrementally (assign under stored centroids, append cell
+    partitions — the 100 TB maintenance path: a daily increment costs
+    one scoring scan of the increment, not a full rebuild). Cell ids
+    are only meaningful under the build-time centroids, so the stored
+    set removes the silent-wrong-neighbors hazard of a caller passing a
+    drifted frame."""
+    import random
+
+    import pytest
+
+    from logstash_filter_translate_spark.operators.similarity import (
+        append_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+        load_ivf_centroids,
+        write_ivf_index,
+    )
+
+    rnd = random.Random(23)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(300)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.filter("vec_id % 60 = 0")  # 5 cells
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    # build on the FIRST HALF only, then append the second half
+    path = str(tmp_path / "ivf_grow")
+    write_ivf_index(emb.filter("vec_id < 150"), centroids, path)
+    # the stored centroids are invisible to the corpus read...
+    assert spark.read.parquet(path).count() == 150
+    # ...and recoverable
+    stored = load_ivf_centroids(spark, path)
+    assert sorted(r["vec_id"] for r in stored.collect()) == [
+        0, 60, 120, 180, 240,
+    ]
+
+    append_ivf_index(spark, emb.filter("vec_id >= 150"), path)
+    assert spark.read.parquet(path).count() == 300
+
+    # self-describing serve (no centroid frame) over the grown index ==
+    # the inline plane over the full corpus
+    grown = ivf_topk_indexed(spark, path, queries, k=3)
+    inline = ivf_topk(emb, queries, centroids, k=3)
+    assert sorted(map(tuple, grown.collect())) == sorted(
+        map(tuple, inline.collect())
+    )
+
+    # a pre-r8 index (no _centroids) fails loudly with a rebuild hint
+    # on the self-describing paths
+    bare = str(tmp_path / "ivf_pre_r8")
+    emb.limit(10).withColumn("cell", F.lit(0)).write.partitionBy(
+        "cell"
+    ).parquet(bare)
+    with pytest.raises(ValueError, match="no stored centroids"):
+        ivf_topk_indexed(spark, bare, queries, k=3)
+    with pytest.raises(ValueError, match="no stored centroids"):
+        append_ivf_index(spark, emb.limit(5), bare)
+
+
 def test_unrolled_dot_plane_bit_identical_to_hof(spark, testdata_dir):
     """Round-6 judge item #3: the dim-unrolled codegen dot/norm/cosine
     must be BIT-identical to the HOF fold (same left-associated
