@@ -529,6 +529,78 @@ def ngram_jaccard_pairs(
     )
 
 
+def incremental_near_dup_keep(
+    corpus: DataFrame,
+    new_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    keep_num: int = 4,
+    keep_den: int = 5,
+    max_bucket: Optional[int] = None,
+    corpus_sigs: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Which NEW documents survive dedup against an already-kept corpus
+    — the INCREMENTAL maintenance shape (the batch analog of
+    append_ivf_index): a daily crawl increment is deduped against the
+    standing corpus without re-deduping the corpus itself.
+
+    Two candidate sources share one Jaccard verify:
+      - cross: banded LSH with the INCREMENT's bands broadcast
+        (lsh_candidate_pairs_cross) — the 100 TB corpus is banded
+        map-side and never shuffles for candidate generation, same
+        plane as fuzzy decontamination. Any new doc verified against a
+        corpus doc is dropped (the corpus member always wins — it is
+        the standing kept set).
+      - intra: self-LSH within the increment; the higher id of each
+        verified pair drops, identical to near_dup_keep's rule, so
+        running increments forever composes with a one-shot
+        near_dup_keep over the concatenation (up to that rule's
+        documented chain over-deletion — use dedup_components +
+        canonical_docs when exact cluster semantics matter).
+
+    The verify's shuffle is ∝ candidate documents on BOTH sides
+    (ngram_jaccard_pairs' semi-join prefilter), so corpus text is
+    touched only for corpus docs that banded with a new doc.
+
+    ``corpus_sigs`` accepts PRECOMPUTED MinHash signatures — at scale
+    the original dedup pass persists them, and the increment then costs
+    one signature scan of the increment plus the candidate-verify, never
+    a full-corpus re-signature. Assumes the increment ≪ corpus (its
+    bands are broadcast); for increment ~ corpus, rerun the full
+    near_dup_keep instead. Ids must share one namespace and be disjoint
+    across the two frames."""
+    sigs_new = minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, text_col, id_col, num_hashes
+        )
+    cross = lsh_candidate_pairs_cross(
+        corpus_sigs, sigs_new, id_col, num_hashes, band_size, max_bucket
+    )
+    intra = lsh_candidate_pairs(
+        sigs_new, id_col, num_hashes, band_size, max_bucket
+    )
+    cand = cross.unionByName(intra).distinct()
+    union_docs = corpus.select(id_col, text_col).unionByName(
+        new_docs.select(id_col, text_col)
+    )
+    jac = ngram_jaccard_pairs(union_docs, text_col, id_col, cand)
+    dup = (
+        jac.filter(
+            (F.col("n_union") > 0)
+            & (
+                F.col("n_intersect") * keep_den
+                >= F.col("n_union") * keep_num
+            )
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return new_docs.select(id_col).join(dup, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # near-dup clustering: connected components over verified duplicate pairs
 # ---------------------------------------------------------------------------

@@ -30,6 +30,7 @@ from ..operators.dedup import (
     boilerplate_shingles,
     connected_components,
     exact_dedup,
+    incremental_near_dup_keep,
     lsh_candidate_pairs,
     lsh_candidate_pairs_cross,
     minhash_signatures,
@@ -1078,6 +1079,82 @@ LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 WHERE za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) > 0
   AND COALESCE(i.n_intersect, 0) * {JACCARD_KEEP_DEN}
       >= (za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0)) * {JACCARD_KEEP_NUM}
+"""
+
+
+#: increment split for the incremental-dedup row: doc_id % 4 == 0 plays
+#: the NEW batch (25%), the rest the standing kept corpus. A modulus
+#: (not an absolute bound) so the row exercises real cross- AND
+#: intra-batch drops at every scale factor.
+INCR_NEW_MOD = 4
+
+
+def q_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup: which new-batch documents survive against the
+    standing kept corpus — cross-corpus banded LSH (the increment's
+    bands broadcast; the corpus is banded map-side and NEVER shuffles
+    for candidates) unioned with intra-batch self-LSH, one shared
+    integer-Jaccard verify (∝ candidate docs via the semi-join
+    prefilter), corpus always wins, intra-batch drops the higher id
+    (near_dup_keep's rule). The daily-increment shape of a 100 TB
+    pipeline: the corpus is never re-deduped, and with persisted
+    signatures (corpus_sigs=...) never re-signed either
+    (operators/dedup.py::incremental_near_dup_keep)."""
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    new_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    return incremental_near_dup_keep(
+        corpus, new_docs, "text", "doc_id", MINHASH_NUM, band_size=2,
+        keep_num=JACCARD_KEEP_NUM, keep_den=JACCARD_KEEP_DEN,
+    )
+
+
+SQL_INCREMENTAL_KEEP = f"""
+WITH {_SQL_SHINGLE_HASH},
+sig AS (
+  SELECT d.doc_id, {_sql_minhash_cols()}
+  FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+  GROUP BY d.doc_id
+),
+banded AS (
+  SELECT doc_id, 0 AS band_idx, m0::VARCHAR || '_' || m1::VARCHAR AS band_key FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 1, m2::VARCHAR || '_' || m3::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 2, m4::VARCHAR || '_' || m5::VARCHAR FROM sig WHERE m0 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, 3, m6::VARCHAR || '_' || m7::VARCHAR FROM sig WHERE m0 IS NOT NULL
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+  WHERE r.doc_id % {INCR_NEW_MOD} = 0
+    AND (   l.doc_id % {INCR_NEW_MOD} <> 0
+         OR (l.doc_id % {INCR_NEW_MOD} = 0 AND l.doc_id < r.doc_id))
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_intersect
+  FROM cand c
+  JOIN dsh sa ON sa.doc_id = c.id_a
+  JOIN dsh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+),
+dup AS (
+  SELECT DISTINCT c.id_b AS doc_id
+  FROM cand c
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0) > 0
+    AND COALESCE(i.n_intersect, 0) * {JACCARD_KEEP_DEN}
+        >= (za.n_sh + zb.n_sh - COALESCE(i.n_intersect, 0)) * {JACCARD_KEEP_NUM}
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % {INCR_NEW_MOD} = 0
+  AND NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
 """
 
 
@@ -2740,6 +2817,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "canonical_docs": q_canonical_docs,
     "fuzzy_contamination": q_fuzzy_contamination,
     "boilerplate_shingles": q_boilerplate_shingles,
+    "incremental_keep": q_incremental_keep,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2751,6 +2829,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "canonical_docs": SQL_CANONICAL_DOCS,
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
+    "incremental_keep": SQL_INCREMENTAL_KEEP,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

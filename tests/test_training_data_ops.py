@@ -377,6 +377,62 @@ def test_connected_components_broadcast_gate(spark):
         assert "SortMergeJoin" in plan_u and "LeftAnti" in plan_u, kwargs
 
 
+def test_incremental_near_dup_keep_cross_and_intra(spark):
+    """Incremental dedup (r8): a new batch against a standing kept
+    corpus — a new doc near-duplicating a CORPUS doc drops (corpus
+    always wins, regardless of id order), a new pair duplicating each
+    other drops its higher id (near_dup_keep's rule), unique docs
+    survive; precomputed corpus signatures (the persisted-at-scale
+    path) give identical results."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        incremental_near_dup_keep,
+        minhash_signatures,
+    )
+
+    dup_text = (
+        "the quick brown fox jumps over the lazy dog near the old barn"
+    )
+    pair_text = (
+        "pack my box with five dozen liquor jugs before the market opens"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (101, dup_text),
+            (102, "a completely different corpus document about spark "
+                  "physical plans and shuffle exchanges"),
+        ],
+        "doc_id long, text string",
+    )
+    new_docs = spark.createDataFrame(
+        [
+            (4, dup_text),          # near-dups corpus 101 -> drops
+            (8, "a unique new document describing incremental corpus "
+                "maintenance at scale"),              # survives
+            (12, pair_text),        # intra pair: lower id -> kept
+            (16, pair_text),        # intra pair: higher id -> drops
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in incremental_near_dup_keep(
+            corpus, new_docs, "text", "doc_id"
+        ).collect()
+    }
+    assert kept == {8, 12}
+    # corpus id HIGHER than the new doc's still wins (no id-order
+    # dependence on the cross side), and the persisted-signature path
+    # is identical
+    sigs = minhash_signatures(corpus, "text", "doc_id")
+    kept2 = {
+        r["doc_id"]
+        for r in incremental_near_dup_keep(
+            corpus, new_docs, "text", "doc_id", corpus_sigs=sigs
+        ).collect()
+    }
+    assert kept2 == kept
+
+
 def test_connected_components_adversarial_chain_pointer_jump(spark):
     """r7 judge item #5: a 200-node chain (diameter 199) is the
     adversarial shape for min-label propagation — the min moves ONE hop
