@@ -137,6 +137,9 @@ HEADLINE = [
     # benched so the shuffle anti-join's cost is tracked next to the
     # broadcast plane's.
     "dedup_components_shuffle",
+    # r8: incremental dedup of a corpus increment (cross-LSH broadcast
+    # probe + intra-batch self-LSH + shared verify)
+    "incremental_keep",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

@@ -674,13 +674,15 @@ def connected_components(
         near-dup clusters are shallow (a dup of a dup of X is usually a
         dup of X), so 3-5 iterations is typical. For adversarial
         long-chain graphs ``pointer_jump=True`` adds a shortcutting
-        step per round (L(v) <- L(L(v)), Shiloach-Vishkin style): the
-        remaining distance to the component min at least halves each
-        round, so convergence is O(log diameter) instead of
+        step per round (L(v) <- L_prev(L(v)), Shiloach-Vishkin style,
+        jumping through the previous round's CHECKPOINTED map so the
+        fresh aggregate is never joined against itself): the remaining
+        distance to the component min still follows the 2d+1 doubling
+        recurrence, so convergence is O(log diameter) instead of
         O(diameter) — a 200-node chain converges in 8 rounds / 8.5 s
         where plain propagation needs 200 rounds / 43.5 s (measured,
         tools/stress_components.py → BENCH/STRESS_CC_r8.json). The
-        extra label self-join (one more shuffle of (node, label) longs
+        extra label join (one more shuffle of (node, label) longs
         per round) is wasted on dedup-shaped shallow graphs, so the
         default is ``"auto"``: plain until
         ``POINTER_JUMP_ESCALATION_ROUND`` rounds have passed without a
@@ -706,6 +708,10 @@ def connected_components(
     Raises after ``max_iterations`` without a fixpoint rather than
     returning silently-unmerged components.
     """
+    global LAST_CC_ITERATIONS
+    # reset at entry so a raise below can't leave a PREVIOUS call's
+    # convergence count attributed to this one (code-review r8)
+    LAST_CC_ITERATIONS = 0
     sym = (
         edges.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
         .unionByName(
@@ -754,13 +760,19 @@ def connected_components(
             and iteration > POINTER_JUMP_ESCALATION_ROUND
         )
         if jump_now:
-            # shortcutting: L(v) <- L(L(v)). Every label value is itself
-            # a member node (labels start as the identity and min only
-            # ever selects existing labels), so the self-join is total;
-            # L(w) <= w makes the step monotone non-increasing, and any
+            # shortcutting: L(v) <- L_prev(L(v)). The parent map is the
+            # PREVIOUS round's checkpointed labels, not this round's
+            # aggregate — joining the un-materialized aggregate against
+            # itself would re-execute the reduce-side aggregation for
+            # both join inputs (code-review r8). The doubling recurrence
+            # is unchanged: the hop covers d+1, the jump through the
+            # previous map another d, so distance-to-min goes to 2d+1
+            # per round. Every label value is a member node and labels
+            # covers all member nodes, so the join is total; L_prev(w)
+            # <= w keeps the step monotone non-increasing, and any
             # combined fixpoint is also a propagation fixpoint, so the
             # converged labels are the same component minima.
-            parent = new_labels.select(
+            parent = labels.select(
                 F.col("__node").alias("__comp"),
                 F.col("__comp").alias("__jump"),
             )
@@ -785,7 +797,6 @@ def connected_components(
         changed = obs.get["changed"] or 0  # sum over 0 rows is NULL
         labels = new_labels
         if changed == 0:
-            global LAST_CC_ITERATIONS
             LAST_CC_ITERATIONS = iteration
             break
     else:

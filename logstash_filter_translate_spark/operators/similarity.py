@@ -423,6 +423,24 @@ def _centroids_path(index_path: str) -> str:
     return os.path.join(index_path, IVF_CENTROIDS_DIR)
 
 
+def ivf_index_complete(index_path: str) -> bool:
+    """True iff BOTH the corpus write and the centroid write completed.
+    write_ivf_index writes the corpus (whose job drops the top-level
+    _SUCCESS) FIRST and ``_centroids/`` second — the overwrite of the
+    index directory would wipe a pre-written centroid set, so the order
+    cannot flip. A kill between the two writes therefore leaves an
+    index that passes a bare top-level-_SUCCESS check but raises from
+    load_ivf_centroids (code-review r8); the centroid marker is written
+    last, so THIS is the authoritative completeness signal."""
+    import os
+
+    return os.path.exists(
+        os.path.join(index_path, "_SUCCESS")
+    ) and os.path.exists(
+        os.path.join(_centroids_path(index_path), "_SUCCESS")
+    )
+
+
 def load_ivf_centroids(spark, index_path: str) -> DataFrame:
     """The centroid set a materialized IVF index was built with (stored
     by write_ivf_index). Raises with a rebuild hint on a pre-r8 index

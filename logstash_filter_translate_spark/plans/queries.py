@@ -754,17 +754,9 @@ def q_near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-safe plane (no all-pairs anywhere); the verify touches LSH
     candidates only."""
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
-    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
-    # jaccard >= 4/5 in exact integer math (float-free across engines)
-    dup = jac.filter(
-        (F.col("n_union") > 0)
-        & (
-            F.col("n_intersect") * JACCARD_KEEP_DEN
-            >= F.col("n_union") * JACCARD_KEEP_NUM
-        )
-    ).select(F.col("id_b").alias("doc_id"))
+    # jaccard >= 4/5 in exact integer math (float-free across engines);
+    # the candidate/verify pipeline is shared with the components planes
+    dup = _dedup_dup_pairs(docs).select(F.col("id_b").alias("doc_id"))
     return docs.select("doc_id").join(dup, "doc_id", "left_anti")
 
 
@@ -814,6 +806,23 @@ WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.doc_id = d.doc_id)
 """
 
 
+def _dedup_dup_pairs(docs: DataFrame) -> DataFrame:
+    """Shared verified-duplicate-pair pipeline (MinHash → banded LSH →
+    integer-Jaccard ≥ 4/5): one definition so the components planes
+    (and their single shared oracle) can never fork semantically
+    (code-review r8)."""
+    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
+    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
+    return jac.filter(
+        (F.col("n_union") > 0)
+        & (
+            F.col("n_intersect") * JACCARD_KEEP_DEN
+            >= F.col("n_union") * JACCARD_KEEP_NUM
+        )
+    ).select("id_a", "id_b")
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERING: the same verified-duplicate pairs as
     near_dup_keep (MinHash → banded LSH → integer-Jaccard ≥ 0.8), closed
@@ -827,18 +836,8 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint loop is the engine's iterative-algorithm plane
     (operators/dedup.py::connected_components)."""
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
-    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
-    dup_pairs = jac.filter(
-        (F.col("n_union") > 0)
-        & (
-            F.col("n_intersect") * JACCARD_KEEP_DEN
-            >= F.col("n_union") * JACCARD_KEEP_NUM
-        )
-    ).select("id_a", "id_b")
     return connected_components(
-        docs.select("doc_id"), dup_pairs, id_col="doc_id"
+        docs.select("doc_id"), _dedup_dup_pairs(docs), id_col="doc_id"
     )
 
 
@@ -851,20 +850,11 @@ def q_dedup_components_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents) the member set is corpus-scale, so at 100 TB this IS the
     default plane; pinning its digest here keeps the beyond-broadcast
     shape honest at test scale. Same oracle as dedup_components — the
-    plane is a physical choice, not a semantic one."""
+    plane is a physical choice, not a semantic one (the candidate/verify
+    pipeline is literally shared: _dedup_dup_pairs)."""
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
-    jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
-    dup_pairs = jac.filter(
-        (F.col("n_union") > 0)
-        & (
-            F.col("n_intersect") * JACCARD_KEEP_DEN
-            >= F.col("n_union") * JACCARD_KEEP_NUM
-        )
-    ).select("id_a", "id_b")
     return connected_components(
-        docs.select("doc_id"), dup_pairs, id_col="doc_id",
+        docs.select("doc_id"), _dedup_dup_pairs(docs), id_col="doc_id",
         broadcast_members=False,
     )
 
@@ -2114,6 +2104,7 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) is intentional and pinned."""
     from ..operators.similarity import (
         IVF_INDEX_FORMAT_VERSION,
+        ivf_index_complete,
         ivf_topk_indexed,
         write_ivf_index,
     )
@@ -2151,65 +2142,82 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = os.path.join(
         tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
     )
-    if not os.path.exists(os.path.join(index_path, "_SUCCESS")):
+    if not ivf_index_complete(index_path):
         # cross-process guard (code-review r7): two first runs (selfcheck
         # + pytest) used to race Spark overwrites on the SAME directory —
         # build pid-scoped, then atomically rename into place; if another
-        # process won the rename, use its (complete, _SUCCESS-marked)
-        # index and discard ours
+        # process won the rename, use its complete index and discard
+        # ours. Completeness = ivf_index_complete (corpus _SUCCESS AND
+        # the last-written _centroids marker — a bare top-level _SUCCESS
+        # check passes on a build killed between the two writes,
+        # code-review r8).
         import shutil
+        import time
 
         build_path = f"{index_path}.build{os.getpid()}"
         write_ivf_index(emb, centroids, build_path)
-        try:
-            os.rename(build_path, index_path)
-        except OSError:
-            # Stale-leftover replacement is serialized behind an O_EXCL
-            # lock (code-review r8): the unlocked rmtree had a TOCTOU
-            # window where a concurrent winner could rename a COMPLETE
-            # index into place between our _SUCCESS re-check and the
-            # rmtree and have it deleted. Under the lock we re-check
-            # _SUCCESS, then rename the stale dir ASIDE (atomic — the
-            # path is never observable half-deleted, unlike rmtree)
-            # before renaming ours in.
-            lock = index_path + ".replacelock"
+        # Stale-leftover replacement is serialized behind an O_EXCL lock
+        # (code-review r8): the unlocked rmtree had a TOCTOU window where
+        # a concurrent winner could rename a COMPLETE index into place
+        # between the completeness re-check and the rmtree and have it
+        # deleted. Under the lock we re-check, then rename the stale dir
+        # ASIDE (atomic — the path is never observable half-deleted)
+        # before renaming ours in. A lock ORPHANED by a killed holder
+        # (SIGKILL mid-replace is a documented reality here: the r4
+        # driver bench died rc=124) is treated as stale past
+        # LOCK_STALE_S and removed, so the recovery path can never wedge
+        # permanently (code-review r8, second pass).
+        LOCK_STALE_S = 60
+        lock = index_path + ".replacelock"
+        for _attempt in range(3):
+            try:
+                os.rename(build_path, index_path)
+                break
+            except OSError:
+                pass
+            if ivf_index_complete(index_path):
+                break  # a winner's complete index is in place — use it
             fd = None
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except OSError:
-                fd = None  # another process is replacing; theirs lands
-            if fd is not None:
-                try:
-                    if not os.path.exists(
-                        os.path.join(index_path, "_SUCCESS")
-                    ):
-                        tomb = f"{index_path}.stale{os.getpid()}"
-                        try:
-                            os.rename(index_path, tomb)
-                        except OSError:
-                            pass  # vanished (winner replaced it already)
-                        else:
-                            shutil.rmtree(tomb, ignore_errors=True)
-                        try:
-                            os.rename(build_path, index_path)
-                        except OSError:
-                            pass  # lost another race: winner's is complete
-                finally:
-                    os.close(fd)
-                    try:
-                        os.unlink(lock)
-                    except OSError:
-                        pass
-            else:
                 # a concurrent replacer holds the lock — give its
-                # (complete) index a moment to land before reading
-                import time
-
+                # (complete) index a moment to land; if nothing lands
+                # and the lock has gone stale, clean it and retry the
+                # whole install
                 for _ in range(100):
-                    if os.path.exists(os.path.join(index_path, "_SUCCESS")):
+                    if ivf_index_complete(index_path):
                         break
                     time.sleep(0.1)
-            shutil.rmtree(build_path, ignore_errors=True)
+                else:
+                    try:
+                        if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
+                            os.unlink(lock)
+                    except OSError:
+                        pass  # vanished — holder finished; retry anyway
+                    continue
+                break  # winner landed
+            try:
+                if not ivf_index_complete(index_path):
+                    tomb = f"{index_path}.stale{os.getpid()}"
+                    try:
+                        os.rename(index_path, tomb)
+                    except OSError:
+                        pass  # vanished (winner replaced it already)
+                    else:
+                        shutil.rmtree(tomb, ignore_errors=True)
+                    try:
+                        os.rename(build_path, index_path)
+                    except OSError:
+                        pass  # lost another race: winner's is complete
+                break
+            finally:
+                os.close(fd)
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+        shutil.rmtree(build_path, ignore_errors=True)
     return ivf_topk_indexed(spark, index_path, queries, k=5)
 
 

@@ -361,11 +361,20 @@ class DictionaryFile:
         # 1 == 1.0 == True, so a reload that only flipped a value's
         # YAML type (1 -> 1.0, true -> 1) would compare equal, skip the
         # version bump, and keep the stale typed value in the built
-        # strategy until an unrelated edit.
-        def _typed(pairs):
-            return [(k, type(v), v) for k, v in pairs]
+        # strategy until an unrelated edit. Recursive, because the same
+        # coercion applies INSIDE container values ([1] == [1.0],
+        # {'x': 1} == {'x': True}) and YAML values can nest arbitrarily.
+        def _typed(v):
+            if isinstance(v, list):
+                return ("list", [_typed(x) for x in v])
+            if isinstance(v, dict):
+                return ("dict", [(k, _typed(x)) for k, x in v.items()])
+            return (type(v).__name__, v)
 
-        if _typed(result) == _typed(self._pairs):
+        def _typed_pairs(pairs):
+            return [(k, _typed(v)) for k, v in pairs]
+
+        if _typed_pairs(result) == _typed_pairs(self._pairs):
             return
         self._pairs = result
         self._by_key = dict(result)

@@ -168,6 +168,26 @@ def test_value_type_flip_is_a_change(tmp_path):
     assert df.reload() is True
     assert df.version == v0 + 2
     assert df.pairs == [("a", True)]
+    # NESTED flips too (code-review r8, second pass): list/dict equality
+    # uses the same 1 == 1.0 == True coercion one level down
+    _write(p, "a: [true]\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 6))
+    assert df.reload() is True
+    v1 = df.version
+    _write(p, "a: [1]\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 8))
+    assert df.reload() is True
+    assert df.version == v1 + 1
+    (_, v), = df.pairs
+    assert v == [1] and isinstance(v[0], int) and not isinstance(v[0], bool)
+    _write(p, "a: {x: 1}\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 10))
+    assert df.reload() is True
+    v2 = df.version
+    _write(p, "a: {x: 1.0}\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 12))
+    assert df.reload() is True
+    assert df.version == v2 + 1
 
 
 def test_refresh_scheduler_restarts_after_stop(tmp_path):
