@@ -421,7 +421,9 @@ def run_scaling() -> dict:
     # its phases base-file -> gen -> replacements -> bonus so the gen
     # pairs are reserved by construction (r6). Measured side-phase costs
     # WITH the r6 doubled scan pass (round-6 advice asked for the
-    # re-measure; r6c driver window): skew primer 3.5 s + 2 reps at
+    # re-measure; r6c driver window): skew primers ~3.5 s x 2 (one per
+    # VARIANT since r8b — the plain-only primer left the first salted
+    # rep cold, 21.6 s vs 5.5 s) + 2 reps at
     # plain 12.5-12.8 s / salted 5.2-6.3 s plus per-measurement JVM
     # spin-up ≈ 170 s total; scan primer 4.8 s + 2 paired reps timing
     # 16-17 s at local[4] / 5-6 s at local[16] plus page-cache warm +

@@ -746,18 +746,26 @@ def skew_sweep(rows: int, cpus: int, reps: int) -> dict:
     reports the per-rep pairs and median speedup — the north_rule's 'skew
     handled explicitly' as a measured before/after."""
     results: dict = {"plain": [], "salted": []}
-    # discarded quarter-size primer — the first wide run of a phase lands
-    # ~2x low (r6a: skew rep0 speedup 1.15x with BOTH variants slow vs
-    # 2.66x for rep1); always run, always discarded
+    # discarded quarter-size primers — ONE PER VARIANT: the first wide
+    # run of a phase lands ~2x low (r6a: skew rep0 speedup 1.15x with
+    # BOTH variants slow vs 2.66x for rep1), and the two variants are
+    # DIFFERENT plan shapes (the salted plane's salt-replication
+    # crossJoin has its own codegen/task profile), so a plain-only
+    # primer left the first salted rep cold — r8b measured salted rep0
+    # at 21.6 s vs 5.5 s on rep1 at clean telemetry, flipping that
+    # pair's speedup to 0.863. Always run, always discarded.
     primer = None
     if os.environ.get("SPARK_GRAFT_PHASE_PRIMER", "1") != "0":
-        try:
-            primer = {"discarded": True, **_subprocess_run(
-                ["run_skew", str(cpus), str(max(rows // 4, 1)), "plain"],
-                timeout=600,
-            )}
-        except Exception as exc:
-            primer = {"discarded": True, "error": str(exc)[:200]}
+        primer = {"discarded": True}
+        for variant in ("plain", "salted"):
+            try:
+                primer[variant] = _subprocess_run(
+                    ["run_skew", str(cpus), str(max(rows // 4, 1)),
+                     variant],
+                    timeout=600,
+                )
+            except Exception as exc:
+                primer[variant] = {"error": str(exc)[:200]}
     for rep in range(reps):
         for variant in ("plain", "salted"):
             r = _subprocess_run(
