@@ -679,9 +679,9 @@ def connected_components(
         fresh aggregate is never joined against itself): the remaining
         distance to the component min still follows the 2d+1 doubling
         recurrence, so convergence is O(log diameter) instead of
-        O(diameter) — a 200-node chain converges in 8 rounds / 8.5 s
-        where plain propagation needs 200 rounds / 43.5 s (measured,
-        tools/stress_components.py → BENCH/STRESS_CC_r8.json). The
+        O(diameter) — a 200-node chain converges in 9 rounds / 7.4 s
+        where plain propagation needs 200 rounds / 32.8 s (measured,
+        tools/stress_components.py → BENCH/STRESS_CC_r8c.json). The
         extra label join (one more shuffle of (node, label) longs
         per round) is wasted on dedup-shaped shallow graphs, so the
         default is ``"auto"``: plain until

@@ -441,6 +441,100 @@ def ivf_index_complete(index_path: str) -> bool:
     )
 
 
+def install_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    wait_s: float = 120.0,
+) -> str:
+    """Crash-safe, concurrency-safe build-and-install of an IVF index at
+    a SHARED path. Returns the path to SERVE FROM — normally
+    ``index_path``, but a complete pid-scoped build directory when the
+    shared path could not be (re)claimed, so a caller holding a complete
+    index never fails or discards it.
+
+    Protocol (absorbed three rounds of review findings as a query-local
+    special case; extracted r8 so every write_ivf_index caller gets it):
+      - build under a pid-scoped sibling, then one atomic os.rename in —
+        concurrent first-builds can't tear each other's files.
+      - if the rename loses (path occupied): complete index there → use
+        it; incomplete (a crashed build) → replace it under an
+        ``flock``-held lock file. flock is KERNEL-owned: it vanishes
+        with the holder on any death including SIGKILL, so there is no
+        orphaned-lock wedge, no staleness heuristic, and no
+        unlink-a-fresh-lock identity race (the failure classes of the
+        two O_EXCL designs that preceded this, code-review r8).
+      - the replace itself renames the stale dir ASIDE before renaming
+        ours in — the shared path is never observable half-deleted.
+      - a waiter polls completeness/acquisition up to ``wait_s``; if the
+        shared path never completes (live holder stuck, or pathological
+        races), it serves from its OWN complete build and leaves the
+        build directory in place.
+    """
+    import fcntl
+    import os
+    import shutil
+    import time
+
+    def _complete() -> bool:
+        return ivf_index_complete(index_path)
+
+    build_path = f"{index_path}.build{os.getpid()}"
+    write_ivf_index(corpus, centroids, build_path, id_col, vec_col, dim)
+    try:
+        os.rename(build_path, index_path)
+        return index_path
+    except OSError:
+        pass
+    if _complete():
+        shutil.rmtree(build_path, ignore_errors=True)
+        return index_path
+    lock = index_path + ".replacelock"
+    deadline = time.monotonic() + wait_s
+    fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
+    try:
+        while time.monotonic() < deadline:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                # a LIVE process holds the replace lock (a dead one
+                # cannot — flock dies with its holder). Let it finish.
+                if _complete():
+                    shutil.rmtree(build_path, ignore_errors=True)
+                    return index_path
+                time.sleep(0.1)
+                continue
+            try:
+                if not _complete():
+                    tomb = f"{index_path}.stale{os.getpid()}"
+                    try:
+                        os.rename(index_path, tomb)
+                    except OSError:
+                        pass  # vanished — another winner replaced it
+                    else:
+                        shutil.rmtree(tomb, ignore_errors=True)
+                    try:
+                        os.rename(build_path, index_path)
+                    except OSError:
+                        pass  # lost a sub-lock race; fall through
+                if _complete():
+                    shutil.rmtree(build_path, ignore_errors=True)
+                    return index_path
+                # shared path unusable even under the lock — serve our
+                # own complete build rather than failing
+                return build_path
+            finally:
+                fcntl.flock(fd, fcntl.LOCK_UN)
+        # wait exhausted with a live holder that never completed: serve
+        # from our own complete build; never delete it
+        return build_path
+    finally:
+        os.close(fd)
+
+
 def load_ivf_centroids(spark, index_path: str) -> DataFrame:
     """The centroid set a materialized IVF index was built with (stored
     by write_ivf_index). Raises with a rebuild hint on a pre-r8 index

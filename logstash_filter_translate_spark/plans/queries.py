@@ -2104,9 +2104,9 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table) is intentional and pinned."""
     from ..operators.similarity import (
         IVF_INDEX_FORMAT_VERSION,
+        install_ivf_index,
         ivf_index_complete,
         ivf_topk_indexed,
-        write_ivf_index,
     )
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -2143,81 +2143,15 @@ def q_similarity_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"lfts_ivf_idx_{suffix}"
     )
     if not ivf_index_complete(index_path):
-        # cross-process guard (code-review r7): two first runs (selfcheck
-        # + pytest) used to race Spark overwrites on the SAME directory —
-        # build pid-scoped, then atomically rename into place; if another
-        # process won the rename, use its complete index and discard
-        # ours. Completeness = ivf_index_complete (corpus _SUCCESS AND
-        # the last-written _centroids marker — a bare top-level _SUCCESS
-        # check passes on a build killed between the two writes,
-        # code-review r8).
-        import shutil
-        import time
-
-        build_path = f"{index_path}.build{os.getpid()}"
-        write_ivf_index(emb, centroids, build_path)
-        # Stale-leftover replacement is serialized behind an O_EXCL lock
-        # (code-review r8): the unlocked rmtree had a TOCTOU window where
-        # a concurrent winner could rename a COMPLETE index into place
-        # between the completeness re-check and the rmtree and have it
-        # deleted. Under the lock we re-check, then rename the stale dir
-        # ASIDE (atomic — the path is never observable half-deleted)
-        # before renaming ours in. A lock ORPHANED by a killed holder
-        # (SIGKILL mid-replace is a documented reality here: the r4
-        # driver bench died rc=124) is treated as stale past
-        # LOCK_STALE_S and removed, so the recovery path can never wedge
-        # permanently (code-review r8, second pass).
-        LOCK_STALE_S = 60
-        lock = index_path + ".replacelock"
-        for _attempt in range(3):
-            try:
-                os.rename(build_path, index_path)
-                break
-            except OSError:
-                pass
-            if ivf_index_complete(index_path):
-                break  # a winner's complete index is in place — use it
-            fd = None
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except OSError:
-                # a concurrent replacer holds the lock — give its
-                # (complete) index a moment to land; if nothing lands
-                # and the lock has gone stale, clean it and retry the
-                # whole install
-                for _ in range(100):
-                    if ivf_index_complete(index_path):
-                        break
-                    time.sleep(0.1)
-                else:
-                    try:
-                        if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                            os.unlink(lock)
-                    except OSError:
-                        pass  # vanished — holder finished; retry anyway
-                    continue
-                break  # winner landed
-            try:
-                if not ivf_index_complete(index_path):
-                    tomb = f"{index_path}.stale{os.getpid()}"
-                    try:
-                        os.rename(index_path, tomb)
-                    except OSError:
-                        pass  # vanished (winner replaced it already)
-                    else:
-                        shutil.rmtree(tomb, ignore_errors=True)
-                    try:
-                        os.rename(build_path, index_path)
-                    except OSError:
-                        pass  # lost another race: winner's is complete
-                break
-            finally:
-                os.close(fd)
-                try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
-        shutil.rmtree(build_path, ignore_errors=True)
+        # crash-safe + concurrency-safe build/install (selfcheck, pytest
+        # and bench race first-builds of the SAME cached index): the
+        # flock-based protocol lives next to the index format it guards
+        # (operators/similarity.py::install_ivf_index, code-review r8 —
+        # it absorbed three rounds of review fixes as a query-local
+        # special case before being extracted). It returns the path to
+        # serve from: the shared path normally, this process's own
+        # complete build if the shared path could not be claimed.
+        index_path = install_ivf_index(emb, centroids, index_path)
     return ivf_topk_indexed(spark, index_path, queries, k=5)
 
 

@@ -368,7 +368,13 @@ class DictionaryFile:
             if isinstance(v, list):
                 return ("list", [_typed(x) for x in v])
             if isinstance(v, dict):
-                return ("dict", [(k, _typed(x)) for k, x in v.items()])
+                # keys too: nested mapping KEYS are not str()-normalized
+                # (only top-level lookup keys are), so {1: x} vs
+                # {true: x} coerces equal without the wrap
+                return (
+                    "dict",
+                    [(_typed(k), _typed(x)) for k, x in v.items()],
+                )
             return (type(v).__name__, v)
 
         def _typed_pairs(pairs):

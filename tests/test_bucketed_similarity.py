@@ -234,6 +234,66 @@ def test_ivf_index_self_describing_and_incremental_append(spark, tmp_path):
         append_ivf_index(spark, emb.limit(5), bare)
 
 
+def test_install_ivf_index_replaces_crashed_leftover_and_is_reentrant(
+    spark, tmp_path
+):
+    """install_ivf_index (r8, extracted from the contract query after
+    three rounds of review fixes): a fresh install lands at the shared
+    path; an INCOMPLETE leftover (a crashed build: corpus _SUCCESS
+    present, _centroids missing — exactly what a kill between the two
+    writes leaves) is tomb-replaced under the flock; a re-install over a
+    complete index is a no-op that serves the existing one. The lock is
+    an flock, so a SIGKILLed holder releases it automatically — no
+    staleness heuristic exists to misfire."""
+    import os
+    import random
+
+    from logstash_filter_translate_spark.operators.similarity import (
+        install_ivf_index,
+        ivf_index_complete,
+        ivf_topk_indexed,
+    )
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.filter("vec_id % 50 = 0")
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "shared_idx")
+    # fresh install: atomic rename path
+    served = install_ivf_index(emb, centroids, path)
+    assert served == path and ivf_index_complete(path)
+    expect = sorted(
+        map(tuple, ivf_topk_indexed(spark, served, queries, k=3).collect())
+    )
+
+    # crashed-leftover replace path: fake a build killed between the
+    # corpus write and the centroid write (top-level _SUCCESS, no
+    # _centroids), then install over it
+    crashed = str(tmp_path / "crashed_idx")
+    emb.limit(20).withColumn("cell", F.lit(0)).write.partitionBy(
+        "cell"
+    ).parquet(crashed)
+    assert os.path.exists(os.path.join(crashed, "_SUCCESS"))
+    assert not ivf_index_complete(crashed)
+    served2 = install_ivf_index(emb, centroids, crashed)
+    assert served2 == crashed and ivf_index_complete(crashed)
+    got = sorted(
+        map(tuple, ivf_topk_indexed(spark, served2, queries, k=3).collect())
+    )
+    assert got == expect
+
+    # re-entrant over a complete index: no replace, same results
+    served3 = install_ivf_index(emb, centroids, crashed)
+    assert served3 == crashed
+    assert not [
+        p for p in os.listdir(str(tmp_path)) if ".build" in p
+    ], "build dirs must be cleaned when the shared path is served"
+
+
 def test_unrolled_dot_plane_bit_identical_to_hof(spark, testdata_dir):
     """Round-6 judge item #3: the dim-unrolled codegen dot/norm/cosine
     must be BIT-identical to the HOF fold (same left-associated

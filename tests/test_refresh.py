@@ -188,6 +188,16 @@ def test_value_type_flip_is_a_change(tmp_path):
     os.utime(p, (st.st_atime, st.st_mtime + 12))
     assert df.reload() is True
     assert df.version == v2 + 1
+    # nested mapping KEY flips too (1 -> true coerces equal, and only
+    # top-level lookup keys are str()-normalized)
+    _write(p, "a: {1: x}\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 14))
+    assert df.reload() is True
+    v3 = df.version
+    _write(p, "a: {true: x}\n")
+    os.utime(p, (st.st_atime, st.st_mtime + 16))
+    assert df.reload() is True
+    assert df.version == v3 + 1
 
 
 def test_refresh_scheduler_restarts_after_stop(tmp_path):
