@@ -294,6 +294,54 @@ def test_install_ivf_index_replaces_crashed_leftover_and_is_reentrant(
     ], "build dirs must be cleaned when the shared path is served"
 
 
+def test_install_ivf_index_serves_own_build_under_live_contention(
+    spark, tmp_path
+):
+    """The live-holder fallback, deterministically: while another
+    open-file-description holds the replace flock (flock conflicts
+    across fds, so the test can play the live holder) and the shared
+    path stays incomplete, install_ivf_index must neither wedge nor
+    discard its work — it times out and serves its OWN complete
+    pid-scoped build, which answers queries correctly."""
+    import fcntl
+    import os
+    import random
+
+    from logstash_filter_translate_spark.operators.similarity import (
+        install_ivf_index,
+        ivf_index_complete,
+        ivf_topk_indexed,
+    )
+
+    rnd = random.Random(13)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = emb.filter("vec_id % 40 = 0")
+    queries = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    path = str(tmp_path / "contended_idx")
+    # incomplete leftover occupies the shared path (forces the lock path)
+    emb.limit(10).withColumn("cell", F.lit(0)).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    holder = os.open(path + ".replacelock", os.O_CREAT | os.O_WRONLY, 0o644)
+    fcntl.flock(holder, fcntl.LOCK_EX)
+    try:
+        served = install_ivf_index(
+            emb, centroids, path, wait_s=3.0
+        )
+        assert served != path and served.startswith(path + ".build")
+        assert ivf_index_complete(served)
+        assert not ivf_index_complete(path)  # untouched while held
+        got = ivf_topk_indexed(spark, served, queries, k=3)
+        assert got.count() == 6  # 2 queries x k=3 over a real index
+    finally:
+        fcntl.flock(holder, fcntl.LOCK_UN)
+        os.close(holder)
+
+
 def test_unrolled_dot_plane_bit_identical_to_hof(spark, testdata_dir):
     """Round-6 judge item #3: the dim-unrolled codegen dot/norm/cosine
     must be BIT-identical to the HOF fold (same left-associated
