@@ -140,6 +140,12 @@ HEADLINE = [
     # r8: incremental dedup of a corpus increment (cross-LSH broadcast
     # probe + intra-batch self-LSH + shared verify)
     "incremental_keep",
+    # r8: training-output stages — mixture draw to per-language TOKEN
+    # budgets (tiny totals agg broadcast back, corpus never shuffles)
+    # and the deterministic global shuffle/shard assignment (one hash
+    # exchange on shard + per-shard sort)
+    "token_budget_mix",
+    "shuffle_shards",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

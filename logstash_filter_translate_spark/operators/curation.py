@@ -21,7 +21,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import hash32, tokens, word_shingles
+from ..functions.text import hash32, token_count, tokens, word_shingles
 
 #: denominator for deterministic sampling decisions: hash32(id) % 10000
 #: gives 4 decimal digits of rate resolution, stable across engines
@@ -184,6 +184,95 @@ def vocab_topk(
     tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
     counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     return counts.orderBy(F.desc("cnt"), F.asc("token")).limit(k)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    strata_col: str,
+    budgets: Dict[str, int],
+    id_col: str,
+    text_col: str,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Training-mix draw to per-stratum TOKEN budgets: compute each
+    stratum's total whitespace-token count, derive the keep-rate
+    ``min(1, budget / total)``, and keep a row iff
+    ``hash32(id) % 10000 < (budget * 10000) div max(total, 1)`` (capped
+    at 10000). This is how a real mixture is specified — "20B tokens of
+    code, 5B of forums" — rather than by document-count rates; a stratum
+    whose budget exceeds its supply is kept whole, one absent from
+    ``budgets`` falls back to ``default_budget`` (0 = dropped).
+
+    All threshold arithmetic is INTEGER (budget·10000 exact, bigint
+    ``div`` truncation == floor for non-negative operands), so Spark and
+    any ANSI-SQL oracle agree bit-for-bit — no float rate ever exists.
+    Because the bucket is the same unseeded ``hash32(id)`` used by
+    :func:`stratified_sample`, a smaller budget draws a strict SUBSET of
+    a larger one: scaling ablations (50%-mix vs 100%-mix) nest
+    reproducibly instead of resampling the corpus.
+
+    Plan at 100 TB: one map-side-partial aggregate reduces the corpus to
+    |strata| total rows (the only shuffle, and it carries strata counts,
+    not documents); that tiny frame is broadcast back and the keep
+    decision is a map-side filter on the second scan — the corpus itself
+    never shuffles. A pipeline that already materializes per-doc token
+    counts passes them via ``text_col`` pointing at a precomputed column
+    upstream; here we recount from text so the operator is standalone.
+    """
+    toks = token_count(F.col(text_col))
+    tot = df.groupBy(strata_col).agg(F.sum(toks).alias("__tot"))
+    budget = F.lit(int(default_budget)).cast("long")
+    for stratum, b in sorted(budgets.items()):
+        budget = F.when(
+            F.col(strata_col) == stratum, F.lit(int(b)).cast("long")
+        ).otherwise(budget)
+    bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(SAMPLE_BUCKETS))
+    threshold = F.least(
+        F.lit(SAMPLE_BUCKETS).cast("long"),
+        F.expr(f"(__budget * {SAMPLE_BUCKETS}) div greatest(__tot, 1L)"),
+    )
+    return (
+        df.join(F.broadcast(tot), strata_col)
+        .withColumn("__budget", budget)
+        .filter(bucket < threshold)
+        .drop("__budget", "__tot")
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str,
+    num_shards: int,
+    seed: str = "shard|",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training
+    output: every row gets ``shard = hash32(seed || id) % num_shards``
+    and ``pos`` = its rank within the shard ordered by that same hash
+    (id tiebreak). Reading shards in (shard, pos) order yields a
+    reproducible pseudo-random permutation of the corpus — the "global
+    shuffle before training" step — as a pure function of (id, seed):
+    no RNG, no state, identical across engines, reruns and retries.
+    Changing ``seed`` yields an independent epoch-level reshuffle.
+
+    Plan at 100 TB: one hash exchange on ``shard`` plus a per-shard sort
+    (never a global sort) — exactly the shape of
+    ``repartition(num_shards, shard).sortWithinPartitions(hash, id)``
+    that a writer would use with ``partitionBy("shard")``; ``num_shards``
+    is chosen so a shard's rows fit an executor's spill budget (e.g.
+    100 TB / 4 GB-target ≈ 25k shards). The window ``row_number`` adds
+    the auditable position column on the same exchange+sort, so the
+    audit query and the writer share one physical plan.
+    """
+    h = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )
 
 
 def curation_pipeline(

@@ -2075,6 +2075,83 @@ SELECT doc_id, lang, source FROM capped WHERE rn <= {DOMAIN_CAP}
 """
 
 
+#: per-language token budgets for the mixture draw: en/de/fr bind
+#: (budget < supply → partial rate), zh exceeds supply (kept whole via
+#: the LEAST cap), es is absent (default budget 0 → dropped) — the three
+#: regimes a real mix spec hits
+TOKEN_BUDGETS = {"en": 5000, "de": 2000, "fr": 1200, "zh": 10_000_000}
+NUM_SHARDS = 16
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix draw to per-language TOKEN budgets (not doc-count
+    rates): one tiny totals aggregate broadcast back, then a map-side
+    integer-threshold filter — the corpus never shuffles. A smaller
+    budget draws a strict subset of a larger one (same unseeded hash as
+    stratified_sample), so mix ablations nest reproducibly."""
+    from ..operators.curation import token_budget_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs, "lang", TOKEN_BUDGETS, "doc_id", "text"
+    ).select("doc_id", "lang")
+
+
+def _sql_budget_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(TOKEN_BUDGETS.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+# integer threshold arithmetic mirrors operators/curation.py exactly:
+# budget*10000 exact in BIGINT, // == Spark's `div` (truncation == floor
+# for non-negative operands); CAST(SUM..) because DuckDB SUM(BIGINT) is
+# HUGEINT while Spark's stays bigint
+SQL_TOKEN_BUDGET_MIX = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+tot AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS tot FROM toks GROUP BY lang)
+SELECT k.doc_id, k.lang
+FROM toks k JOIN tot USING (lang)
+WHERE {_SQL_ID_HASH32} % 10000 <
+      LEAST(10000,
+            (CAST({_sql_budget_case()} AS BIGINT) * 10000)
+              // GREATEST(tot, 1))
+"""
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training output: shard =
+    seeded-hash % {NUM_SHARDS}, pos = rank within the shard by that hash.
+    One exchange on shard + per-shard sort (never a global sort) — the
+    writer's repartition+sortWithinPartitions shape with an auditable
+    position column on the same plan."""
+    from ..operators.curation import shuffle_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", NUM_SHARDS)
+
+
+SQL_SHUFFLE_SHARDS = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS hh
+  FROM documents
+)
+SELECT doc_id,
+       hh % {NUM_SHARDS} AS shard,
+       CAST(row_number() OVER (
+         PARTITION BY hh % {NUM_SHARDS} ORDER BY hh, doc_id
+       ) AS INT) AS pos
+FROM h
+"""
+
+
 IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
 
 
@@ -2639,6 +2716,18 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #                               integer-Jaccard verify, r7.
 #       boilerplate_shingles  — doc-frequency inventory of hot shingles
 #                               (how a deployment picks max_bucket), r7.
+#       dedup_components_shuffle — the big-graph components plane
+#                               (broadcast_members=False: shuffle
+#                               left-anti singleton re-entry), r8.
+#       incremental_keep      — dedup of a corpus increment against the
+#                               standing kept corpus (cross-LSH +
+#                               intra-batch self-LSH, shared verify), r8.
+#       token_budget_mix      — training-mix draw to per-language TOKEN
+#                               budgets (integer thresholds, totals agg
+#                               broadcast back, corpus unshuffled), r8.
+#       shuffle_shards        — deterministic global shuffle + shard
+#                               assignment for training output (seeded
+#                               hash, one exchange + per-shard sort), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2760,6 +2849,8 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_contamination": q_fuzzy_contamination,
     "boilerplate_shingles": q_boilerplate_shingles,
     "incremental_keep": q_incremental_keep,
+    "token_budget_mix": q_token_budget_mix,
+    "shuffle_shards": q_shuffle_shards,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2772,6 +2863,8 @@ EXTRA_ORACLES: Dict[str, str] = {
     "fuzzy_contamination": SQL_FUZZY_CONTAMINATION,
     "boilerplate_shingles": SQL_BOILERPLATE_SHINGLES,
     "incremental_keep": SQL_INCREMENTAL_KEEP,
+    "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
+    "shuffle_shards": SQL_SHUFFLE_SHARDS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

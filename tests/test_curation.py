@@ -244,3 +244,75 @@ def test_stratified_sample_rate_rounds_not_truncates(spark):
         ).collect()
     }
     assert boundary <= kept
+
+
+def test_token_budget_mix_three_regimes_and_subset_nesting(spark):
+    """token_budget_mix: a budget ≥ supply keeps the stratum whole (LEAST
+    cap), a binding budget keeps a deterministic strict subset, an absent
+    stratum (default_budget=0) is dropped entirely, and a smaller budget
+    draws a strict subset of a larger one (same unseeded hash → mix
+    ablations nest)."""
+    from logstash_filter_translate_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    rows = [
+        (i, "w " * (i % 7 + 1) + "end", ["en", "de", "fr"][i % 3], "s")
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+    def keep(budgets):
+        out = token_budget_mix(docs, "lang", budgets, "doc_id", "text")
+        return {(r["doc_id"], r["lang"]) for r in out.collect()}
+
+    k1 = keep({"en": 10_000_000, "de": 150})
+    # en budget exceeds supply → every en doc kept
+    assert {d for d, l in k1 if l == "en"} == {
+        i for i in range(300) if i % 3 == 0
+    }
+    # de budget binds → strict, non-empty subset
+    de_all = {i for i in range(300) if i % 3 == 1}
+    de_kept = {d for d, l in k1 if l == "de"}
+    assert de_kept and de_kept < de_all
+    # fr absent from budgets → dropped
+    assert not {d for d, l in k1 if l == "fr"}
+    # determinism
+    assert keep({"en": 10_000_000, "de": 150}) == k1
+    # nesting: halving the de budget draws a subset of the larger draw
+    smaller = {d for d, l in keep({"de": 75}) if l == "de"}
+    assert smaller <= de_kept
+
+
+def test_shuffle_shards_is_a_deterministic_partition_with_dense_pos(spark):
+    """shuffle_shards: shards partition the id set, pos is dense 1..n per
+    shard ordered by the seeded hash, the whole assignment is a pure
+    function of (id, seed), and a different seed yields a different
+    permutation (epoch reshuffle)."""
+    from logstash_filter_translate_spark.operators.curation import (
+        shuffle_shards,
+    )
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text")
+    )
+    out = shuffle_shards(docs, "doc_id", 8).collect()
+    assert {r["doc_id"] for r in out} == set(range(500))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8)) and len(by_shard) == 8
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # deterministic rerun
+    out2 = shuffle_shards(docs, "doc_id", 8).collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out2} == {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
+    # a different seed is a different permutation
+    out3 = shuffle_shards(docs, "doc_id", 8, seed="epoch2|").collect()
+    assert {(r["doc_id"], r["shard"], r["pos"]) for r in out3} != {
+        (r["doc_id"], r["shard"], r["pos"]) for r in out
+    }
