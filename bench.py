@@ -146,6 +146,11 @@ HEADLINE = [
     # exchange on shard + per-shard sort)
     "token_budget_mix",
     "shuffle_shards",
+    # r8 (late): sequence packing over the shuffle order (running token
+    # sum riding shuffle_shards' single exchange+sort) and CCNet-style
+    # frequent-segment removal (the apply step of boilerplate_shingles).
+    "pack_sequences",
+    "segment_dedup",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

@@ -275,6 +275,58 @@ def shuffle_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_shards: int,
+    seq_len: int,
+    seed: str = "shard|",
+) -> DataFrame:
+    """Fixed-length sequence packing for training output — the stage
+    after :func:`shuffle_shards`: stream the documents in the
+    deterministic shuffle order, concatenate their tokens, and cut the
+    stream into ``seq_len``-token training sequences (GPT-style
+    concat-then-chunk packing). Returns ``(id, shard, seq, off)``:
+    ``seq`` is the sequence index whose window contains the document's
+    FIRST token and ``off`` that token's offset within it — together
+    with the document's own length this fully determines its placement,
+    including spills into following sequences; a writer needs nothing
+    else to lay out the shard.
+
+    Everything is a pure function of ``(id, seed)`` plus exact long
+    arithmetic (a running token sum; no floats, no RNG), so any ANSI
+    engine reproduces the layout bit-for-bit and a re-run after a
+    failure packs identically — the resumability story for the most
+    expensive write in the pipeline.
+
+    Plan at 100 TB: one hash exchange on ``shard`` plus a per-shard
+    sort — the SAME physical shape as :func:`shuffle_shards`; the
+    cumulative sum rides that sort as a running window aggregate with
+    bounded state (one long per partition). ``num_shards`` is the
+    parallelism knob exactly as there; no global sort ever exists.
+    """
+    h = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        df.select(
+            F.col(id_col),
+            h.alias("__h"),
+            token_count(F.col(text_col)).cast("long").alias("__t"),
+        )
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)))
+        .withColumn("__start", F.sum("__t").over(w) - F.col("__t"))
+        .select(
+            id_col,
+            "shard",
+            F.expr(f"__start div {int(seq_len)}").alias("seq"),
+            (F.col("__start") % F.lit(int(seq_len))).alias("off"),
+        )
+    )
+
+
 def curation_pipeline(
     df: DataFrame,
     text_col: str,

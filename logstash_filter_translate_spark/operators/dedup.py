@@ -866,3 +866,105 @@ def boilerplate_shingles(
         .agg(F.count("*").alias("doc_freq"))
         .filter(F.col("doc_freq") >= min_docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# frequent-segment removal (the APPLY step of the boilerplate inventory)
+# ---------------------------------------------------------------------------
+
+def remove_frequent_segments(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    segment_words: int = 4,
+    min_docs: int = 2,
+    split_pattern: Optional[str] = None,
+    joiner: str = " ",
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """CCNet-style frequent-segment REMOVAL: delete every segment whose
+    document frequency reaches ``min_docs`` (nav chrome, footers, cookie
+    banners — the boilerplate that :func:`boilerplate_shingles` merely
+    inventories) and reassemble each document from its surviving
+    segments in original order. Returns ``(id_col, clean_text)``;
+    documents whose every segment was boilerplate drop out entirely
+    (they carried no unique content).
+
+    Segmentation is pluggable: with ``split_pattern`` (``"\\n"`` for the
+    CCNet line-dedup, ``r"\\n{2,}"`` for paragraphs) segments are the
+    trimmed non-empty splits; without one — single-line corpora like the
+    test table — segments are consecutive non-overlapping
+    ``segment_words``-word windows.
+
+    Plan at 100 TB (mirrors the reference pipeline's enrich-then-route
+    shape, translate.rb:84-118, but corpus-directed):
+      - the word-window plane explodes an index sequence and slices
+        per row (codegen; no interpreted HOF in the corpus-wide path) —
+        the exploded frame carries (id, ordinal, segment), nothing else;
+      - document frequency is one exchange keyed on the segment with
+        map-side partial distinct — exact text keying keeps the DuckDB
+        oracle bit-exact; a deployment at 10^10 docs would key the
+        exchange on a 64-bit fingerprint instead, accepting CCNet's
+        collision-removal semantics, which is a one-line swap here;
+      - survivors of the ``HAVING doc_freq >= min_docs`` filter are few
+        relative to the corpus by the same argument as
+        :func:`boilerplate_shingles`, so the re-entry anti-join
+        broadcasts them by default; pass ``broadcast_frequent=False``
+        when ``min_docs`` is low enough that the inventory itself is
+        corpus-scale (the merge-hinted shuffle anti-join is correct at
+        any size — same convention as ``connected_components``);
+      - reassembly is one exchange keyed on the doc id; the per-doc
+        ``array_sort``/``transform`` runs on a handful of elements per
+        row, not the corpus stream.
+    """
+    if split_pattern is not None:
+        parts = F.filter(
+            F.transform(F.split(F.col(text_col), split_pattern),
+                        lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+        seg = df.select(
+            F.col(id_col), F.posexplode(parts).alias("__i", "segment")
+        )
+    else:
+        k = int(segment_words)
+        base = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        nseg = F.floor(
+            (F.size("__toks") + F.lit(k - 1)) / F.lit(k)
+        ).cast("int")
+        # when() guards the ANSI trap: sequence(1, 0) DESCENDS; a NULL
+        # array explodes to zero rows, which is what an empty doc means.
+        seg = base.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.explode(F.when(F.size("__toks") > 0,
+                             F.sequence(F.lit(1), nseg))).alias("__i"),
+        ).select(
+            F.col(id_col),
+            F.col("__i"),
+            F.concat_ws(
+                " ",
+                F.slice(F.col("__toks"),
+                        F.col("__i") * k - F.lit(k - 1), F.lit(k)),
+            ).alias("segment"),
+        )
+    frequent = (
+        seg.groupBy("segment")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") >= int(min_docs))
+        .select("segment")
+    )
+    if broadcast_frequent:
+        kept = seg.join(F.broadcast(frequent), "segment", "left_anti")
+    else:
+        kept = seg.hint("merge").join(frequent, "segment", "left_anti")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("__i").alias("i"),
+                                F.col("segment").alias("s")))
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(joiner, F.transform(ordered, lambda x: x["s"]))
+        .alias("clean_text")
+    )

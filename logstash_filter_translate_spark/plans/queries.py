@@ -2152,6 +2152,90 @@ FROM h
 """
 
 
+SEQ_LEN = 512  # training-sequence length for pack_sequences
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length sequence packing over the deterministic shuffle
+    order: running token sum within each shard → (seq, off) placement of
+    every document. Same single exchange + per-shard sort as
+    shuffle_shards; pure long arithmetic so the layout is bit-exact
+    across engines and re-runs."""
+    from ..operators.curation import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", NUM_SHARDS, SEQ_LEN)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) AS hh,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, hh % {NUM_SHARDS} AS shard, t,
+         CAST(SUM(t) OVER (
+           PARTITION BY hh % {NUM_SHARDS} ORDER BY hh, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum
+  FROM h
+)
+SELECT doc_id, shard,
+       (cum - t) // {SEQ_LEN} AS seq,
+       (cum - t) % {SEQ_LEN} AS off
+FROM c
+"""
+
+
+SEGMENT_WORDS = 4  # word-window size for segment dedup
+SEGMENT_MIN_DOCS = 2  # doc-frequency at/above which a segment is boilerplate
+
+
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style frequent-segment removal: segments (4-word windows on
+    this single-line corpus; lines/paragraphs via split_pattern on real
+    corpora) seen in ≥2 distinct docs are deleted everywhere and docs
+    reassemble from the survivors in order; pure-boilerplate docs drop
+    out. At sf0.01: 341 segments removed, 13 docs dropped."""
+    from ..operators.dedup import remove_frequent_segments
+
+    docs = _load(spark, sf_dir, "documents")
+    return remove_frequent_segments(
+        docs, "text", "doc_id",
+        segment_words=SEGMENT_WORDS, min_docs=SEGMENT_MIN_DOCS,
+    )
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), seg0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, (len(t) + {SEGMENT_WORDS - 1}) // {SEGMENT_WORDS}
+                         + 1)) AS i
+  FROM toks
+), seg AS (
+  SELECT doc_id, i,
+         array_to_string(
+           t[(i - 1) * {SEGMENT_WORDS} + 1 : i * {SEGMENT_WORDS}], ' '
+         ) AS segment
+  FROM seg0
+), freq AS (
+  SELECT segment FROM seg
+  GROUP BY segment HAVING COUNT(DISTINCT doc_id) >= {SEGMENT_MIN_DOCS}
+), kept AS (
+  SELECT seg.doc_id, seg.i, seg.segment FROM seg ANTI JOIN freq USING (segment)
+)
+SELECT doc_id, string_agg(segment, ' ' ORDER BY i) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
 IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
 
 
@@ -2728,6 +2812,12 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       shuffle_shards        — deterministic global shuffle + shard
 #                               assignment for training output (seeded
 #                               hash, one exchange + per-shard sort), r8.
+#       pack_sequences        — fixed-length sequence packing over the
+#                               shuffle order (running token sum on the
+#                               same exchange+sort; bit-exact layout), r8.
+#       segment_dedup         — CCNet-style frequent-segment REMOVAL
+#                               (the apply step of boilerplate_shingles;
+#                               order-preserving reassembly), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2851,6 +2941,8 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_keep": q_incremental_keep,
     "token_budget_mix": q_token_budget_mix,
     "shuffle_shards": q_shuffle_shards,
+    "pack_sequences": q_pack_sequences,
+    "segment_dedup": q_segment_dedup,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2865,6 +2957,8 @@ EXTRA_ORACLES: Dict[str, str] = {
     "incremental_keep": SQL_INCREMENTAL_KEEP,
     "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

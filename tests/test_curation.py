@@ -316,3 +316,73 @@ def test_shuffle_shards_is_a_deterministic_partition_with_dense_pos(spark):
     assert {(r["doc_id"], r["shard"], r["pos"]) for r in out3} != {
         (r["doc_id"], r["shard"], r["pos"]) for r in out
     }
+
+
+def test_pack_sequences_layout_matches_brute_force(spark):
+    """pack_sequences: (seq, off) equals the brute-force packing of the
+    shard's token stream in shuffle order — off < seq_len, the first doc
+    of every shard lands at (0, 0), and the layout is a pure function of
+    (id, seed)."""
+    from logstash_filter_translate_spark.operators.curation import (
+        pack_sequences,
+        shuffle_shards,
+    )
+
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        # 1..13 tokens, deterministic per id
+        F.concat_ws(
+            " ", F.array_repeat(F.lit("w"), (F.col("id") % 13 + 1).cast("int"))
+        ).alias("text"),
+    )
+    seq_len = 16
+    out = pack_sequences(docs, "doc_id", "text", 8, seq_len).collect()
+    assert {r["doc_id"] for r in out} == set(range(300))
+    order = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(docs, "doc_id", 8).collect()
+    }
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: order[r["doc_id"]][1])
+        cum = 0
+        for r in rows:
+            assert (r["seq"], r["off"]) == (cum // seq_len, cum % seq_len), r
+            assert 0 <= r["off"] < seq_len
+            cum += r["doc_id"] % 13 + 1
+        assert (rows[0]["seq"], rows[0]["off"]) == (0, 0)
+    # pure function of (id, seed): rerun identical, new seed differs
+    again = {
+        (r["doc_id"], r["shard"], r["seq"], r["off"])
+        for r in pack_sequences(docs, "doc_id", "text", 8, seq_len).collect()
+    }
+    assert again == {
+        (r["doc_id"], r["shard"], r["seq"], r["off"]) for r in out
+    }
+    other = {
+        (r["doc_id"], r["shard"], r["seq"], r["off"])
+        for r in pack_sequences(
+            docs, "doc_id", "text", 8, seq_len, seed="epoch2|"
+        ).collect()
+    }
+    assert other != again
+
+
+def test_pack_sequences_single_exchange_like_shuffle_shards(spark):
+    """The running token sum rides shuffle_shards' exchange+sort: exactly
+    one hash exchange on shard (plus the scan), never a global sort."""
+    from logstash_filter_translate_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = (
+        pack_sequences(docs, "doc_id", "text", 4, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort

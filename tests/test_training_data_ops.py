@@ -704,3 +704,81 @@ def test_brute_force_topk_explode_length_mismatch_parity(spark):
             for r in brute_force_topk(emb, queries, k=2, plane=plane).collect()
         ]
         assert got == [(1, 1), (2, 3)], (plane, got)
+
+
+def test_remove_frequent_segments_word_windows(spark):
+    """Word-window plane: a 4-word window shared by >= min_docs docs is
+    deleted from every doc, surviving windows reassemble in original
+    order, and a doc that was pure boilerplate drops out."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    boiler = "accept all cookies now"
+    rows = [
+        (1, boiler + " unique one two three"),
+        (2, boiler + " other words here too"),
+        (3, "totally different content words here"),  # 8 words → 2 windows
+        (4, boiler),  # pure boilerplate → drops out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_segments(
+            docs, "text", "doc_id", segment_words=4, min_docs=2
+        ).collect()
+    }
+    assert out == {
+        1: "unique one two three",
+        2: "other words here too",
+        3: "totally different content words here",
+    }
+
+
+def test_remove_frequent_segments_split_pattern_lines(spark):
+    """CCNet line-dedup plane: split_pattern segments are trimmed
+    non-empty splits; frequent lines are removed and the survivors
+    rejoin with the joiner in original order."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    rows = [
+        (1, "header line\nreal content one\nfooter line"),
+        (2, "header line\nreal content two\n\nfooter line"),
+        (3, "header line\nfooter line"),  # nothing unique → drops out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_segments(
+            docs, "text", "doc_id", min_docs=2,
+            split_pattern="\n", joiner="\n",
+        ).collect()
+    }
+    assert out == {1: "real content one", 2: "real content two"}
+
+
+def test_remove_frequent_segments_shuffle_plane_no_broadcast(spark):
+    """broadcast_frequent=False pins the merge-hinted shuffle anti-join
+    (the corpus-scale-inventory plane): no broadcast join remains."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for flag, expect_bc in ((True, True), (False, False)):
+        plan = (
+            remove_frequent_segments(
+                docs, "text", "doc_id", broadcast_frequent=flag
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        has_bc_anti = "BroadcastHashJoin" in plan
+        assert has_bc_anti == expect_bc, plan[:1500]
+        if not flag:
+            assert "SortMergeJoin LeftAnti" in plan or (
+                "SortMergeJoin" in plan and "LeftAnti" in plan
+            ), plan[:1500]
