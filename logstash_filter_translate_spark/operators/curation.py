@@ -239,6 +239,19 @@ def token_budget_mix(
     )
 
 
+def _seeded_order(id_col: str, seed: str):
+    """The (hash, within-shard order) pair that DEFINES the deterministic
+    shuffle order — shared by :func:`shuffle_shards` and
+    :func:`pack_sequences` so the packing can never desynchronize from
+    the shuffle the writer actually emits. Callers alias the hash to
+    ``__h`` and derive ``shard = pmod(__h, N)``."""
+    h = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return h, w
+
+
 def shuffle_shards(
     df: DataFrame,
     id_col: str,
@@ -263,10 +276,7 @@ def shuffle_shards(
     the auditable position column on the same exchange+sort, so the
     audit query and the writer share one physical plan.
     """
-    h = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    w = Window.partitionBy("shard").orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
-    )
+    h, w = _seeded_order(id_col, seed)
     return (
         df.select(F.col(id_col), h.alias("__h"))
         .withColumn("shard", F.pmod(F.col("__h"), F.lit(num_shards)))
@@ -306,10 +316,8 @@ def pack_sequences(
     bounded state (one long per partition). ``num_shards`` is the
     parallelism knob exactly as there; no global sort ever exists.
     """
-    h = hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    w = Window.partitionBy("shard").orderBy(
-        F.col("__h").asc(), F.col(id_col).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    h, order = _seeded_order(id_col, seed)
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         df.select(
             F.col(id_col),

@@ -898,14 +898,22 @@ def remove_frequent_segments(
 
     Plan at 100 TB (mirrors the reference pipeline's enrich-then-route
     shape, translate.rb:84-118, but corpus-directed):
-      - the word-window plane explodes an index sequence and slices
-        per row (codegen; no interpreted HOF in the corpus-wide path) —
-        the exploded frame carries (id, ordinal, segment), nothing else;
-      - document frequency is one exchange keyed on the segment with
-        map-side partial distinct — exact text keying keeps the DuckDB
-        oracle bit-exact; a deployment at 10^10 docs would key the
+      - document frequency mirrors :func:`boilerplate_shingles`:
+        ``array_distinct`` of the per-doc segment array BEFORE the
+        explode (a repeat inside one doc counts once), then COUNT(*)
+        with map-side partial aggregation — the inventory pays ONE
+        exchange carrying (segment, partial count), never (segment,
+        doc_id) pairs and never the corpus. Exact text keying keeps
+        the DuckDB oracle bit-exact; a 10^10-doc deployment keys the
         exchange on a 64-bit fingerprint instead, accepting CCNet's
-        collision-removal semantics, which is a one-line swap here;
+        collision-removal semantics — a one-line swap;
+      - the split plane is pure codegen: whitespace around (and runs
+        of) the delimiter collapse to a sentinel via one
+        ``regexp_replace`` over the raw text, so segments come out
+        trimmed (``\\r`` included) with no interpreted HOF; the window
+        plane builds its array with one ``transform`` per document —
+        the ``word_shingles`` idiom (r7's measured result: the HOF
+        interpreter beats wide unrolled codegen on exactly this shape);
       - survivors of the ``HAVING doc_freq >= min_docs`` filter are few
         relative to the corpus by the same argument as
         :func:`boilerplate_shingles`, so the re-entry anti-join
@@ -916,43 +924,48 @@ def remove_frequent_segments(
       - reassembly is one exchange keyed on the doc id; the per-doc
         ``array_sort``/``transform`` runs on a handful of elements per
         row, not the corpus stream.
+
+    ``split_pattern`` is embedded in a larger regex (anchors and
+    backreferences unsupported); segments containing NUL bytes would
+    collide with the internal sentinel.
     """
     if split_pattern is not None:
-        parts = F.filter(
-            F.transform(F.split(F.col(text_col), split_pattern),
-                        lambda s: F.trim(s)),
-            lambda s: s != "",
+        # collapse delimiter runs AND their surrounding whitespace
+        # (\r included) to one sentinel, trim the outer ends, split:
+        # trimmed non-empty segments with zero interpreted HOFs.
+        sentinel = "\x00"
+        norm = F.regexp_replace(
+            F.col(text_col), "\\s*(?:" + split_pattern + ")\\s*", sentinel
         )
-        seg = df.select(
-            F.col(id_col), F.posexplode(parts).alias("__i", "segment")
-        )
+        norm = F.regexp_replace(norm, "^\\s+|\\s+$", "")
+        seg_array = F.array_remove(F.split(norm, sentinel, -1), "")
     else:
         k = int(segment_words)
-        base = df.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        toks = tokens(F.col(text_col))
+        nseg = F.floor((F.size(toks) + F.lit(k - 1)) / F.lit(k)).cast("int")
+        # when() guards the ANSI trap: sequence(1, 0) DESCENDS; the NULL
+        # it leaves behaves as an empty doc (explode → zero rows).
+        idx = F.when(F.size(toks) > 0, F.sequence(F.lit(1), nseg))
+        seg_array = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * k - F.lit(k - 1), F.lit(k))
+            ),
         )
-        nseg = F.floor(
-            (F.size("__toks") + F.lit(k - 1)) / F.lit(k)
-        ).cast("int")
-        # when() guards the ANSI trap: sequence(1, 0) DESCENDS; a NULL
-        # array explodes to zero rows, which is what an empty doc means.
-        seg = base.select(
-            F.col(id_col),
-            F.col("__toks"),
-            F.explode(F.when(F.size("__toks") > 0,
-                             F.sequence(F.lit(1), nseg))).alias("__i"),
-        ).select(
-            F.col(id_col),
-            F.col("__i"),
-            F.concat_ws(
-                " ",
-                F.slice(F.col("__toks"),
-                        F.col("__i") * k - F.lit(k - 1), F.lit(k)),
-            ).alias("segment"),
-        )
+    base = df.select(F.col(id_col), seg_array.alias("__segs"))
+    # _outer generates + cheap null filters: a plain explode makes
+    # Catalyst push a `size(..)>0 AND isnotnull(..)` predicate into the
+    # scan that re-evaluates the whole segment-array expression per row.
+    seg = base.select(
+        F.col(id_col), F.posexplode_outer("__segs").alias("__i", "segment")
+    ).filter(F.col("segment").isNotNull())
     frequent = (
-        seg.groupBy("segment")
-        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        base.select(
+            F.explode_outer(F.array_distinct("__segs")).alias("segment")
+        )
+        .filter(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") >= int(min_docs))
         .select("segment")
     )

@@ -718,7 +718,7 @@ def test_remove_frequent_segments_word_windows(spark):
     rows = [
         (1, boiler + " unique one two three"),
         (2, boiler + " other words here too"),
-        (3, "totally different content words here"),  # 8 words → 2 windows
+        (3, "totally different content words here"),  # 5 words → 2 windows
         (4, boiler),  # pure boilerplate → drops out
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
@@ -757,6 +757,31 @@ def test_remove_frequent_segments_split_pattern_lines(spark):
         ).collect()
     }
     assert out == {1: "real content one", 2: "real content two"}
+
+
+def test_remove_frequent_segments_crlf_and_blank_lines(spark):
+    """Mixed CRLF/LF corpora: \\r (and any whitespace hugging the
+    delimiter) is trimmed off segments, so a boilerplate line split
+    across line-ending flavors still reaches min_docs and is removed;
+    blank lines never become segments."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_frequent_segments,
+    )
+
+    rows = [
+        (1, "cookie banner\r\nkeep me one\r\n\r\n"),
+        (2, "cookie banner\nkeep me two"),
+        (3, "  cookie banner  \n\n keep me three "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_segments(
+            docs, "text", "doc_id", min_docs=2,
+            split_pattern="\n", joiner="\n",
+        ).collect()
+    }
+    assert out == {1: "keep me one", 2: "keep me two", 3: "keep me three"}
 
 
 def test_remove_frequent_segments_shuffle_plane_no_broadcast(spark):
