@@ -151,6 +151,8 @@ HEADLINE = [
     # frequent-segment removal (the apply step of boilerplate_shingles).
     "pack_sequences",
     "segment_dedup",
+    # r8 (late): the mix draw with epoch repetition (upsample plane)
+    "token_budget_mix_epochs",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

@@ -193,6 +193,7 @@ def token_budget_mix(
     id_col: str,
     text_col: str,
     default_budget: int = 0,
+    upsample: bool = False,
 ) -> DataFrame:
     """Training-mix draw to per-stratum TOKEN budgets: compute each
     stratum's total whitespace-token count, derive the keep-rate
@@ -211,13 +212,27 @@ def token_budget_mix(
     a larger one: scaling ablations (50%-mix vs 100%-mix) nest
     reproducibly instead of resampling the corpus.
 
+    ``upsample=True`` generalizes the draw to EPOCH REPETITION — how
+    real mixes treat rare high-quality strata ("wiki ×3.5"): every doc
+    gets ``budget div total`` whole copies plus one more iff
+    ``hash32(id) % 10000 < ((budget mod total) * 10000) div total``, and
+    the output gains a ``copy`` column (1..n). The expected stratum
+    token count is the budget on the nose; a budget below supply yields
+    0 whole copies and the remainder draw — exactly the downsample
+    semantics above, so one operator covers the whole mix. The same
+    unseeded hash means the remainder copies land on the docs a
+    downsample would keep: ablation mixes still nest. (Remainder
+    arithmetic stays in long range for budgets to ~10^14 tokens.)
+
     Plan at 100 TB: one map-side-partial aggregate reduces the corpus to
     |strata| total rows (the only shuffle, and it carries strata counts,
     not documents); that tiny frame is broadcast back and the keep
     decision is a map-side filter on the second scan — the corpus itself
-    never shuffles. A pipeline that already materializes per-doc token
-    counts passes them via ``text_col`` pointing at a precomputed column
-    upstream; here we recount from text so the operator is standalone.
+    never shuffles (upsample adds a map-side explode of 1..n_copies,
+    still shuffle-free). A pipeline that already materializes per-doc
+    token counts passes them via ``text_col`` pointing at a precomputed
+    column upstream; here we recount from text so the operator is
+    standalone.
     """
     toks = token_count(F.col(text_col))
     tot = df.groupBy(strata_col).agg(F.sum(toks).alias("__tot"))
@@ -227,15 +242,35 @@ def token_budget_mix(
             F.col(strata_col) == stratum, F.lit(int(b)).cast("long")
         ).otherwise(budget)
     bucket = F.pmod(hash32(F.col(id_col).cast("string")), F.lit(SAMPLE_BUCKETS))
-    threshold = F.least(
-        F.lit(SAMPLE_BUCKETS).cast("long"),
-        F.expr(f"(__budget * {SAMPLE_BUCKETS}) div greatest(__tot, 1L)"),
+    joined = df.join(F.broadcast(tot), strata_col).withColumn(
+        "__budget", budget
     )
+    if not upsample:
+        threshold = F.least(
+            F.lit(SAMPLE_BUCKETS).cast("long"),
+            F.expr(f"(__budget * {SAMPLE_BUCKETS}) div greatest(__tot, 1L)"),
+        )
+        return joined.filter(bucket < threshold).drop("__budget", "__tot")
+    full = F.expr("__budget div greatest(__tot, 1L)")
+    rem_thr = F.expr(
+        f"((__budget % greatest(__tot, 1L)) * {SAMPLE_BUCKETS})"
+        " div greatest(__tot, 1L)"
+    )
+    ncopies = (full + F.when(bucket < rem_thr, 1).otherwise(0)).cast("long")
+    # when() guards the ANSI trap (sequence(1, 0) descends); the NULL it
+    # leaves explodes to zero rows = the dropped-stratum case.
     return (
-        df.join(F.broadcast(tot), strata_col)
-        .withColumn("__budget", budget)
-        .filter(bucket < threshold)
-        .drop("__budget", "__tot")
+        joined.withColumn("__nc", ncopies)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("__nc") > 0,
+                    F.sequence(F.lit(1).cast("long"), F.col("__nc")),
+                )
+            ),
+        )
+        .drop("__budget", "__tot", "__nc")
     )
 
 

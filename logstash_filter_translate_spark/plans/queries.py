@@ -2152,6 +2152,55 @@ FROM h
 """
 
 
+#: epochs-mode budgets: en ≈ 2.5–2.9 epochs (multi-copy), fr ≈ 1.8–2.4
+#: (one copy + remainder draw), de ≈ 0.5 (downsample-as-special-case),
+#: es/zh absent → dropped. Supplies at sf0.01: en 11757, de 3549,
+#: fr 3758 tokens.
+EPOCH_BUDGETS = {"en": 30_000, "de": 2_000, "fr": 9_000}
+
+
+def q_token_budget_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-repetition mixture draw: rare strata repeat (copy = 1..n)
+    until their TOKEN budget is met in expectation, over-supplied strata
+    downsample — one operator covers the whole training mix. Same
+    shuffle-free shape as token_budget_mix plus a map-side explode."""
+    from ..operators.curation import token_budget_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs, "lang", EPOCH_BUDGETS, "doc_id", "text", upsample=True
+    ).select("doc_id", "lang", "copy")
+
+
+def _sql_epoch_budget_case() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(EPOCH_BUDGETS.items())
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+SQL_TOKEN_BUDGET_MIX_EPOCHS = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+),
+tot AS (SELECT lang, CAST(SUM(t) AS BIGINT) AS tot FROM toks GROUP BY lang),
+n AS (
+  SELECT doc_id, lang,
+         (CAST({_sql_epoch_budget_case()} AS BIGINT)
+            // GREATEST(tot, 1))
+         + CASE WHEN {_SQL_ID_HASH32} % 10000 <
+                     ((CAST({_sql_epoch_budget_case()} AS BIGINT)
+                         % GREATEST(tot, 1)) * 10000) // GREATEST(tot, 1)
+                THEN 1 ELSE 0 END AS nc
+  FROM toks JOIN tot USING (lang)
+)
+SELECT doc_id, lang, CAST(unnest(range(1, nc + 1)) AS BIGINT) AS copy
+FROM n WHERE nc > 0
+"""
+
+
 SEQ_LEN = 512  # training-sequence length for pack_sequences
 
 
@@ -2818,6 +2867,9 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       segment_dedup         — CCNet-style frequent-segment REMOVAL
 #                               (the apply step of boilerplate_shingles;
 #                               order-preserving reassembly), r8.
+#       token_budget_mix_epochs — the mix draw with EPOCH REPETITION
+#                               (upsample=True: rare strata repeat to
+#                               budget, copy column; still shuffle-free), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2943,6 +2995,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shuffle_shards": q_shuffle_shards,
     "pack_sequences": q_pack_sequences,
     "segment_dedup": q_segment_dedup,
+    "token_budget_mix_epochs": q_token_budget_mix_epochs,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -2959,6 +3012,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "shuffle_shards": SQL_SHUFFLE_SHARDS,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "token_budget_mix_epochs": SQL_TOKEN_BUDGET_MIX_EPOCHS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -386,3 +386,53 @@ def test_pack_sequences_single_exchange_like_shuffle_shards(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_token_budget_mix_upsample_epochs(spark):
+    """upsample=True: whole copies = budget div total, the remainder
+    draw lands on EXACTLY the docs the equivalent downsample would keep
+    (same unseeded hash → mixes nest), a sub-supply budget degenerates
+    to the downsample doc set with copy=1, and absent strata drop."""
+    from logstash_filter_translate_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    rows = [
+        (i, "w " * (i % 7 + 1) + "end", ["en", "fr"][i % 2], "s")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    tot_en = sum(i % 7 + 2 for i in range(200) if i % 2 == 0)
+
+    up = token_budget_mix(
+        docs, "lang", {"en": tot_en * 2 + tot_en // 2}, "doc_id", "text",
+        upsample=True,
+    ).collect()
+    # fr absent → dropped
+    assert all(r["lang"] == "en" for r in up)
+    copies = {}
+    for r in up:
+        copies[r["doc_id"]] = max(copies.get(r["doc_id"], 0), r["copy"])
+        assert r["copy"] >= 1
+    en_ids = {i for i in range(200) if i % 2 == 0}
+    # every en doc present with >= 2 whole copies; copy numbering dense
+    assert set(copies) == en_ids
+    assert all(v in (2, 3) for v in copies.values())
+    assert sum(1 for r in up) == sum(copies.values())
+    # the extra-copy set == the docs a budget-(tot//2) downsample keeps
+    extra = {d for d, v in copies.items() if v == 3}
+    down = {
+        r["doc_id"]
+        for r in token_budget_mix(
+            docs, "lang", {"en": tot_en // 2}, "doc_id", "text"
+        ).collect()
+    }
+    assert extra == down
+    # sub-supply budget with upsample → downsample doc set, all copy=1
+    sub = token_budget_mix(
+        docs, "lang", {"en": tot_en // 2}, "doc_id", "text", upsample=True
+    ).collect()
+    assert {r["doc_id"] for r in sub} == down
+    assert all(r["copy"] == 1 for r in sub)
