@@ -153,6 +153,9 @@ HEADLINE = [
     "segment_dedup",
     # r8 (late): the mix draw with epoch repetition (upsample plane)
     "token_budget_mix_epochs",
+    # r8 (late): exact-substring duplicate-span removal (overlapping
+    # 5-grams; the any-offset complement of segment_dedup)
+    "span_dedup",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

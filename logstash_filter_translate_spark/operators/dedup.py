@@ -981,3 +981,113 @@ def remove_frequent_segments(
         F.concat_ws(joiner, F.transform(ordered, lambda x: x["s"]))
         .alias("clean_text")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    span_words: int = 5,
+    min_docs: int = 2,
+    broadcast_duplicated: bool = True,
+    joiner: str = " ",
+) -> DataFrame:
+    """Exact-substring duplicate-SPAN removal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    word covered by an OVERLAPPING ``span_words``-gram that occurs in at
+    least ``min_docs`` distinct documents is deleted, and each document
+    reassembles from its surviving words in original order. Returns
+    ``(id_col, clean_text)``; documents whose every word sat inside a
+    duplicated span drop out, as do empty documents.
+
+    This is the sliding-window complement of
+    :func:`remove_frequent_segments`: segments are fixed tilings (lines /
+    paragraphs / non-overlapping windows) so a shared passage that
+    straddles a tile boundary survives; overlapping grams catch a
+    duplicated run at ANY offset, and adjacent flagged grams merge into
+    one removed span for free because removal is per covered WORD. The
+    suffix-array formulation in the paper is a single-machine algorithm;
+    the gram-inventory formulation below is its shuffle-native
+    re-expression (recall is exact for duplicated runs of length >=
+    span_words; runs shorter than span_words are below the dedup
+    threshold by definition).
+
+    Plan at 100 TB:
+      - the inventory mirrors :func:`boilerplate_shingles` /
+        :func:`remove_frequent_segments`: ``array_distinct`` of the
+        per-doc gram array BEFORE the explode (a within-doc repeat counts
+        once toward doc frequency), then COUNT(*) with map-side partial
+        aggregation — ONE exchange carrying (gram, partial count), never
+        (gram, doc_id) pairs. Exact text keying keeps the DuckDB oracle
+        bit-exact; a 10^10-doc deployment keys the exchange on a 64-bit
+        fingerprint instead (collision-removal semantics, one-line swap);
+      - duplicated-gram survivors of ``HAVING doc_freq >= min_docs`` are
+        broadcast into the flagging semi-join by default; pass
+        ``broadcast_duplicated=False`` when ``min_docs`` is low enough
+        that the inventory itself is corpus-scale (merge-hinted shuffle
+        semi-join — same convention as ``connected_components``);
+      - flagged start positions aggregate per doc (one exchange keyed on
+        the doc id, carrying only the few flagged ints per doc) and
+        LEFT-join back to the corpus; AQE broadcasts the flag side when
+        measured-small. Clean documents — the vast majority — take the
+        null branch: one codegen ``concat_ws`` over their tokens, no
+        per-word coverage test, no second pass;
+      - flagged documents rebuild with a per-row coverage filter
+        (``filter(positions, j -> !exists(flags, p -> p<=j<p+k))``) —
+        interpreted HOF cost proportional to (doc words x flagged spans)
+        for the flagged MINORITY only, never the corpus stream.
+
+    Gram construction is the ``word_shingles`` idiom (transform over an
+    index sequence — r7's measured result: the HOF interpreter beats wide
+    unrolled codegen on this shape); the ``when(n >= k)`` guard keeps
+    ANSI ``sequence`` from descending.
+    """
+    k = int(span_words)
+    if k < 1:
+        raise ValueError("span_words must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1)))
+    grams = F.transform(
+        starts, lambda p: F.concat_ws(" ", F.slice(toks, p, F.lit(k)))
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), grams.alias("__grams")
+    )
+    duplicated = (
+        base.select(
+            F.explode_outer(F.array_distinct("__grams")).alias("__gram")
+        )
+        .filter(F.col("__gram").isNotNull())
+        .groupBy("__gram")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") >= int(min_docs))
+        .select("__gram")
+    )
+    gram_pos = base.select(
+        F.col(id_col), F.posexplode_outer("__grams").alias("__p0", "__gram")
+    ).filter(F.col("__gram").isNotNull())
+    if broadcast_duplicated:
+        flagged = gram_pos.join(F.broadcast(duplicated), "__gram", "semi")
+    else:
+        flagged = gram_pos.hint("merge").join(duplicated, "__gram", "semi")
+    flags = flagged.groupBy(id_col).agg(
+        F.collect_list(F.col("__p0") + F.lit(1)).alias("__flags")
+    )
+    joined = base.join(flags, id_col, "left")
+    fl = F.col("__flags")
+    kept_positions = F.filter(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda j: ~F.exists(fl, lambda p: (p <= j) & (j < p + F.lit(k))),
+    )
+    clean = F.when(
+        fl.isNull(), F.concat_ws(joiner, "__toks")
+    ).otherwise(
+        F.concat_ws(
+            joiner,
+            F.transform(kept_positions, lambda j: F.element_at("__toks", j)),
+        )
+    )
+    return joined.select(F.col(id_col), clean.alias("clean_text")).filter(
+        F.col("clean_text") != ""
+    )

@@ -2285,6 +2285,56 @@ FROM kept GROUP BY doc_id
 """
 
 
+SPAN_WORDS = 5  # overlapping-gram width for duplicate-span removal
+SPAN_MIN_DOCS = 2  # doc-frequency at/above which a span is duplicated
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-SPAN removal (Lee et al. 2022): every
+    word covered by an OVERLAPPING 5-gram seen in ≥2 distinct docs is
+    deleted; docs reassemble from the surviving words in order, and docs
+    whose every word sat in a duplicated span drop out. The sliding
+    window catches a shared passage at ANY offset — the case
+    segment_dedup's fixed tiling misses when the passage straddles a
+    tile boundary."""
+    from ..operators.dedup import remove_duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return remove_duplicate_spans(
+        docs, "text", "doc_id",
+        span_words=SPAN_WORDS, min_docs=SPAN_MIN_DOCS,
+    )
+
+
+SQL_SPAN_DEDUP = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         array_to_string(t[i : i + {SPAN_WORDS - 1}], ' ') AS gram
+  FROM toks,
+       unnest(range(1, CAST(len(t) AS BIGINT) - {SPAN_WORDS - 2})) AS u(i)
+), dup AS (
+  SELECT gram FROM g
+  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+), flg AS (
+  SELECT g.doc_id, g.i FROM g SEMI JOIN dup USING (gram)
+), kept AS (
+  SELECT toks.doc_id, CAST(j AS BIGINT) AS j, t[j] AS w
+  FROM toks, unnest(range(1, CAST(len(t) AS BIGINT) + 1)) AS u(j)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM flg
+    WHERE flg.doc_id = toks.doc_id
+      AND flg.i <= j AND j < flg.i + {SPAN_WORDS}
+  )
+)
+SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS clean_text
+FROM kept GROUP BY doc_id
+"""
+
+
 IVF_CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic centroid set
 
 
@@ -2870,6 +2920,10 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       token_budget_mix_epochs — the mix draw with EPOCH REPETITION
 #                               (upsample=True: rare strata repeat to
 #                               budget, copy column; still shuffle-free), r8.
+#       span_dedup            — exact-substring duplicate-SPAN removal
+#                               (Lee et al. 2022: overlapping 5-grams in
+#                               ≥2 docs delete the covered words; the
+#                               any-offset complement of segment_dedup), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -2996,6 +3050,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "segment_dedup": q_segment_dedup,
     "token_budget_mix_epochs": q_token_budget_mix_epochs,
+    "span_dedup": q_span_dedup,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -3013,6 +3068,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "token_budget_mix_epochs": SQL_TOKEN_BUDGET_MIX_EPOCHS,
+    "span_dedup": SQL_SPAN_DEDUP,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -807,3 +807,100 @@ def test_remove_frequent_segments_shuffle_plane_no_broadcast(spark):
             assert "SortMergeJoin LeftAnti" in plan or (
                 "SortMergeJoin" in plan and "LeftAnti" in plan
             ), plan[:1500]
+
+
+def test_remove_duplicate_spans_any_offset(spark):
+    """Overlapping-gram span removal: a duplicated run is deleted at ANY
+    offset (different offsets in each doc), adjacent flagged grams merge
+    into one removed span, a fully-covered doc drops out, and a doc
+    shorter than span_words passes through untouched."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "the quick brown fox jumps over"  # 6 words -> 2 merged grams
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),  # run at offset 3
+        (2, shared + " unique tail words here"),       # run at offset 1
+        (3, "totally different content words in here now"),
+        (4, shared),       # every word covered -> drops out
+        (5, "tiny doc"),   # 2 words < span_words -> pass-through
+        (6, ""),           # empty -> drops out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", span_words=5, min_docs=2
+        ).collect()
+    }
+    assert out == {
+        1: "alpha beta gamma delta",
+        2: "unique tail words here",
+        3: "totally different content words in here now",
+        5: "tiny doc",
+    }
+
+
+def test_remove_duplicate_spans_catches_tile_straddler(spark):
+    """The case fixed tilings miss: a 4-word passage shared by two docs
+    but STRADDLING the 4-word tile boundary in one of them.
+    remove_frequent_segments keeps it everywhere (no tile matches);
+    remove_duplicate_spans deletes it from both."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_frequent_segments,
+    )
+
+    passage = "subscribe to our newsletter"
+    rows = [
+        (1, passage + " original article text one"),       # tile-aligned
+        (2, "by admin " + passage + " more body text"),    # offset 3: straddles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    seg = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_frequent_segments(
+            docs, "text", "doc_id", segment_words=4, min_docs=2
+        ).collect()
+    }
+    # fixed tiling: doc 2's tiles are 'by admin subscribe to' /
+    # 'our newsletter more body' / 'text' -- the passage never forms a
+    # tile twice, so nothing reaches min_docs and both docs are intact
+    assert seg == {
+        1: passage + " original article text one",
+        2: "by admin " + passage + " more body text",
+    }
+    spans = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            docs, "text", "doc_id", span_words=4, min_docs=2
+        ).collect()
+    }
+    assert spans == {
+        1: "original article text one",
+        2: "by admin more body text",
+    }
+
+
+def test_remove_duplicate_spans_shuffle_plane_no_broadcast(spark):
+    """broadcast_duplicated=False pins the merge-hinted shuffle semi-join
+    (the corpus-scale-inventory plane): no broadcast join remains."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x y z a b c d") for i in range(50)],
+        "doc_id long, text string",
+    )
+    for flag, expect_bc in ((True, True), (False, False)):
+        plan = (
+            remove_duplicate_spans(
+                docs, "text", "doc_id", broadcast_duplicated=flag
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        has_bc = "BroadcastHashJoin" in plan
+        assert has_bc == expect_bc, plan[:1500]
+        if not flag:
+            assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan[:1500]
