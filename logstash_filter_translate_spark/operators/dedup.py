@@ -1010,7 +1010,9 @@ def remove_duplicate_spans(
     the gram-inventory formulation below is its shuffle-native
     re-expression (recall is exact for duplicated runs of length >=
     span_words; runs shorter than span_words are below the dedup
-    threshold by definition).
+    threshold by definition). ``id_col`` must be unique — like the
+    sibling segment/shingle operators — or a twin row's flagged
+    positions land on the wrong row through the re-entry join.
 
     Plan at 100 TB:
       - the inventory mirrors :func:`boilerplate_shingles` /
@@ -1076,8 +1078,16 @@ def remove_duplicate_spans(
     )
     joined = base.join(flags, id_col, "left")
     fl = F.col("__flags")
+    # the when(>=1) guard matters even though a FLAGGED doc always has
+    # >= k tokens under unique ids: with duplicate ids a twin's flags
+    # left-join onto an empty-toks row, and an unguarded ANSI
+    # sequence(1, 0) descends to [1, 0] -> element_at index 0 throws
+    # (same trap the gram-starts guard above closes)
+    n_toks = F.size("__toks")
     kept_positions = F.filter(
-        F.sequence(F.lit(1), F.size("__toks")),
+        F.when(n_toks >= 1, F.sequence(F.lit(1), n_toks)).otherwise(
+            F.expr("array()").cast("array<int>")
+        ),
         lambda j: ~F.exists(fl, lambda p: (p <= j) & (j < p + F.lit(k))),
     )
     clean = F.when(

@@ -904,3 +904,20 @@ def test_remove_duplicate_spans_shuffle_plane_no_broadcast(spark):
         assert has_bc == expect_bc, plan[:1500]
         if not flag:
             assert "SortMergeJoin" in plan and "LeftSemi" in plan, plan[:1500]
+
+
+def test_remove_duplicate_spans_duplicate_id_no_ansi_throw(spark):
+    """Unique ids are a documented precondition, but violating it must
+    degrade (like the sibling operators), never throw: a twin's flags
+    left-joined onto an empty-toks row used to reach an unguarded ANSI
+    sequence(1, 0) -> [1, 0] -> element_at(toks, 0) crash."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [(1, "a b c d e f"), (2, "a b c d e f"), (1, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(
+        docs, "text", "doc_id", span_words=5, min_docs=2
+    ).collect()  # must not raise; both covered docs drop out
+    assert out == []
