@@ -154,8 +154,11 @@ HEADLINE = [
     # r8 (late): the mix draw with epoch repetition (upsample plane)
     "token_budget_mix_epochs",
     # r8 (late): exact-substring duplicate-span removal (overlapping
-    # 5-grams; the any-offset complement of segment_dedup)
+    # 5-grams; the any-offset complement of segment_dedup) and the
+    # hashed-feature linear quality classifier (fastText-style inference
+    # in pure codegen, integer milli-weights)
     "span_dedup",
+    "quality_classifier",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

@@ -396,3 +396,91 @@ def curation_pipeline(
     sampled = stratified_sample(base, strata_col, rates, id_col, default_rate)
     capped = domain_cap(sampled, domain_col, id_col, cap)
     return capped.select(id_col, strata_col, domain_col)
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    buckets: int = 1 << 18,
+    seed: str = "quality",
+    weights: Optional[DataFrame] = None,
+    threshold_milli: int = 0,
+    broadcast_weights: bool = True,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier inference — the
+    fastText-style learned quality filter every production curation
+    pipeline runs after the heuristic scorers (CCNet / DCLM shape),
+    re-expressed as pure codegen + one aggregation exchange.
+
+    Each token hashes into one of ``buckets`` feature buckets
+    (``hash32('b|'||token) % buckets`` — the hashing trick, so the model
+    is fixed-dimension regardless of vocabulary); the document's score is
+    the MEAN bucket weight. Everything stays in INTEGER milli-units (the
+    house integers-only convention — canonical_docs, integer-Jaccard):
+    the returned ``score_milli`` is the exact sum of per-token integer
+    milli-weights and ``keep`` is the cross-multiplied threshold test
+    ``score_milli >= threshold_milli * n_tokens`` — no float mean, no
+    partition-order summation drift, bit-equal across engines/reruns.
+    Zero-token documents have no features and drop out (a quality filter
+    discards them anyway).
+
+    Two weight planes:
+      - ``weights=None`` (deterministic): bucket weight is a pure hash
+        function, ``hash32(seed||'|'||bucket) % 2001 - 1000`` in
+        [-1000, 1000] milli — the sandbox stand-in with the REAL plan
+        shape; a deployment swaps in trained weights without touching
+        the plan below;
+      - ``weights`` = a ``(bucket, weight_milli)`` DataFrame (a trained
+        model exported as a table, <= ``buckets`` rows): LEFT-joined
+        onto the exploded tokens — broadcast by default (a 2^18-bucket
+        model is a few MB), ``broadcast_weights=False`` for the
+        merge-hinted shuffle plane when the model side can't be trusted
+        to fit (same convention as the other beyond-broadcast planes).
+        Unseen buckets score 0.
+
+    Plan at 100 TB: explode tokens → codegen md5 bucket/weight →
+    groupBy(id) with map-side partial aggregation — ONE exchange keyed
+    on the doc id carrying two longs per doc; the corpus text never
+    shuffles. The optional model join happens pre-aggregation on the
+    exploded stream, broadcast so the stream stays unshuffled.
+    """
+    if int(buckets) < 1:
+        raise ValueError("buckets must be >= 1")
+    ex = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    bucket = F.pmod(
+        hash32(F.concat(F.lit("b|"), F.col("__tok"))), F.lit(int(buckets))
+    )
+    if weights is None:
+        w = F.pmod(
+            hash32(F.concat(F.lit(seed + "|"), bucket.cast("string"))),
+            F.lit(2001),
+        ) - F.lit(1000)
+        scored = ex.select(F.col(id_col), w.alias("__w"))
+    else:
+        wt = weights.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("weight_milli").cast("long").alias("weight_milli"),
+        )
+        b = ex.select(F.col(id_col), bucket.alias("bucket"))
+        if broadcast_weights:
+            j = b.join(F.broadcast(wt), "bucket", "left")
+        else:
+            j = b.hint("merge").join(wt, "bucket", "left")
+        scored = j.select(
+            F.col(id_col),
+            F.coalesce(F.col("weight_milli"), F.lit(0)).alias("__w"),
+        )
+    agg = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("__w").alias("score_milli"),
+    )
+    keep = F.col("score_milli") >= F.lit(int(threshold_milli)) * F.col(
+        "n_tokens"
+    )
+    return agg.select(
+        F.col(id_col), "n_tokens", "score_milli", keep.alias("keep")
+    )

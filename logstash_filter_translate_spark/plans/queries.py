@@ -2075,6 +2075,47 @@ SELECT doc_id, lang, source FROM capped WHERE rn <= {DOMAIN_CAP}
 """
 
 
+CLS_BUCKETS = 1 << 18  # hashed-feature dimension (fastText-default-ish)
+CLS_THRESHOLD_MILLI = 25  # keep iff mean milli-weight >= 25
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear classifier inference (fastText-style
+    learned quality filter): tokens hash into 2^18 feature buckets, the
+    doc scores the MEAN bucket weight, keep = cross-multiplied integer
+    threshold test. Deterministic hash-derived milli-weights stand in
+    for a trained model with the identical plan shape (one explode →
+    codegen md5 → one doc-keyed exchange of two longs); at sf0.01 the
+    threshold keeps 143/500 docs."""
+    from ..operators.curation import hashed_linear_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        docs, "text", "doc_id",
+        buckets=CLS_BUCKETS, threshold_milli=CLS_THRESHOLD_MILLI,
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('quality|' || CAST(
+           CAST(('0x' || substr(md5('b|' || t), 1, 8)) AS BIGINT)
+             % {CLS_BUCKETS}
+         AS VARCHAR)), 1, 8)) AS BIGINT) % 2001 - 1000 AS wm
+  FROM tok
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(wm) AS BIGINT) AS score_milli,
+       CAST(SUM(wm) AS BIGINT) >= {CLS_THRESHOLD_MILLI} * COUNT(*) AS keep
+FROM w GROUP BY doc_id
+"""
+
+
 #: per-language token budgets for the mixture draw: en/de/fr bind
 #: (budget < supply → partial rate), zh exceeds supply (kept whole via
 #: the LEAST cap), es is absent (default budget 0 → dropped) — the three
@@ -2924,6 +2965,10 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #                               (Lee et al. 2022: overlapping 5-grams in
 #                               ≥2 docs delete the covered words; the
 #                               any-offset complement of segment_dedup), r8.
+#       quality_classifier    — hashed bag-of-words linear classifier
+#                               inference (fastText-style learned quality
+#                               filter; integer milli-weights, one
+#                               doc-keyed exchange of two longs), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -3051,6 +3096,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_dedup": q_segment_dedup,
     "token_budget_mix_epochs": q_token_budget_mix_epochs,
     "span_dedup": q_span_dedup,
+    "quality_classifier": q_quality_classifier,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -3069,6 +3115,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "token_budget_mix_epochs": SQL_TOKEN_BUDGET_MIX_EPOCHS,
     "span_dedup": SQL_SPAN_DEDUP,
+    "quality_classifier": SQL_QUALITY_CLASSIFIER,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -436,3 +436,84 @@ def test_token_budget_mix_upsample_epochs(spark):
     ).collect()
     assert {r["doc_id"] for r in sub} == down
     assert all(r["copy"] == 1 for r in sub)
+
+
+def _py_bucket(tok: str, buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"b|{tok}".encode()).hexdigest()[:8], 16) % buckets
+
+
+def _py_det_weight(bucket: int, seed: str = "quality") -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}|{bucket}".encode()).hexdigest()[:8], 16)
+    return h % 2001 - 1000
+
+
+def test_hashed_linear_score_matches_hashlib_reference(spark):
+    """The deterministic plane is a pure function of the tokens: an
+    independent hashlib reimplementation (not DuckDB, not Spark) must
+    reproduce score_milli/n_tokens/keep exactly — and zero-token docs
+    drop out."""
+    from logstash_filter_translate_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
+    B = 1 << 10
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "lorem ipsum dolor sit amet"),
+        (3, ""),        # zero tokens -> no score row
+        (4, "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score_milli"], r["keep"])
+        for r in hashed_linear_score(
+            docs, "text", "doc_id", buckets=B, threshold_milli=0
+        ).collect()
+    }
+    expect = {}
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        s = sum(_py_det_weight(_py_bucket(t, B)) for t in toks)
+        expect[doc_id] = (len(toks), s, s >= 0)
+    assert got == expect
+
+
+def test_hashed_linear_score_weight_table_planes(spark):
+    """Trained-weight plane: scores sum the table's milli-weights,
+    unseen buckets contribute 0, keep tests the cross-multiplied
+    threshold INCLUSIVELY at the boundary; broadcast_weights=False pins
+    the merge-hinted shuffle join (no broadcast in the plan)."""
+    from logstash_filter_translate_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
+    B = 1 << 10
+    wrows = [
+        (_py_bucket("good", B), 500),
+        (_py_bucket("bad", B), -700),
+    ]
+    weights = spark.createDataFrame(wrows, "bucket long, weight_milli long")
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "unseen tokens here")],
+        "doc_id long, text string",
+    )
+    for bc in (True, False):
+        out = hashed_linear_score(
+            docs, "text", "doc_id", buckets=B, weights=weights,
+            threshold_milli=100, broadcast_weights=bc,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert ("BroadcastHashJoin" in plan) == bc, plan[:1200]
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["score_milli"], r["keep"])
+            for r in out.collect()
+        }
+        # doc 1: 500+500-700 = 300 >= 100*3 (boundary, inclusive) -> keep
+        # doc 2: all unseen -> 0 < 100*3 -> drop
+        assert got == {1: (3, 300, True), 2: (3, 0, False)}, (bc, got)
