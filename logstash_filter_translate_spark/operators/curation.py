@@ -438,7 +438,10 @@ def hashed_linear_score(
         model is a few MB), ``broadcast_weights=False`` for the
         merge-hinted shuffle plane when the model side can't be trusted
         to fit (same convention as the other beyond-broadcast planes).
-        Unseen buckets score 0.
+        Unseen buckets score 0. Duplicate bucket rows (a malformed
+        export) are normalized to one row per bucket (max weight,
+        deterministic) BEFORE the join — fan-out would corrupt
+        ``n_tokens``, not just the score.
 
     Plan at 100 TB: explode tokens → codegen md5 bucket/weight →
     groupBy(id) with map-side partial aggregation — ONE exchange keyed
@@ -461,18 +464,29 @@ def hashed_linear_score(
         ) - F.lit(1000)
         scored = ex.select(F.col(id_col), w.alias("__w"))
     else:
-        wt = weights.select(
-            F.col("bucket").cast("long").alias("bucket"),
-            F.col("weight_milli").cast("long").alias("weight_milli"),
+        # normalize to ONE row per bucket before the join: a malformed
+        # model export with duplicate bucket rows would otherwise fan
+        # out every token hashing there — corrupting n_tokens, not just
+        # the score (code-review r8). max() is the deterministic
+        # resolution; the model side is small, so the extra exchange is
+        # noise. The dunder key avoids colliding with an id_col named
+        # "bucket" (same reason the other temps are __-prefixed).
+        wt = (
+            weights.select(
+                F.col("bucket").cast("long").alias("__bucket"),
+                F.col("weight_milli").cast("long").alias("__wm"),
+            )
+            .groupBy("__bucket")
+            .agg(F.max("__wm").alias("__wm"))
         )
-        b = ex.select(F.col(id_col), bucket.alias("bucket"))
+        b = ex.select(F.col(id_col), bucket.alias("__bucket"))
         if broadcast_weights:
-            j = b.join(F.broadcast(wt), "bucket", "left")
+            j = b.join(F.broadcast(wt), "__bucket", "left")
         else:
-            j = b.hint("merge").join(wt, "bucket", "left")
+            j = b.hint("merge").join(wt, "__bucket", "left")
         scored = j.select(
             F.col(id_col),
-            F.coalesce(F.col("weight_milli"), F.lit(0)).alias("__w"),
+            F.coalesce(F.col("__wm"), F.lit(0)).alias("__w"),
         )
     agg = scored.groupBy(id_col).agg(
         F.count("*").alias("n_tokens"),

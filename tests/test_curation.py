@@ -517,3 +517,41 @@ def test_hashed_linear_score_weight_table_planes(spark):
         # doc 1: 500+500-700 = 300 >= 100*3 (boundary, inclusive) -> keep
         # doc 2: all unseen -> 0 < 100*3 -> drop
         assert got == {1: (3, 300, True), 2: (3, 0, False)}, (bc, got)
+
+
+def test_hashed_linear_score_weight_table_hardening(spark):
+    """Malformed-model and naming hazards (code-review r8): duplicate
+    bucket rows must NOT fan out the join (n_tokens would corrupt, not
+    just the score) — they normalize deterministically to the max
+    weight; and an id_col literally named 'bucket' must not collide
+    with the internal join key."""
+    from logstash_filter_translate_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
+    B = 1 << 10
+    gb = _py_bucket("good", B)
+    weights = spark.createDataFrame(
+        [(gb, 500), (gb, 120)],  # duplicate rows for one bucket
+        "bucket long, weight_milli long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "good good good")], "doc_id long, text string"
+    )
+    got = hashed_linear_score(
+        docs, "text", "doc_id", buckets=B, weights=weights
+    ).collect()
+    assert [(r["n_tokens"], r["score_milli"]) for r in got] == [(3, 1500)]
+
+    # id_col named 'bucket' through the weights plane: no ambiguity
+    docs2 = spark.createDataFrame(
+        [(7, "good good")], "bucket long, text string"
+    )
+    got2 = hashed_linear_score(
+        docs2, "text", "bucket", buckets=B,
+        weights=spark.createDataFrame(
+            [(gb, 500)], "bucket long, weight_milli long"
+        ),
+    ).collect()
+    assert [(r["bucket"], r["n_tokens"], r["score_milli"]) for r in got2] \
+        == [(7, 2, 1000)]
