@@ -159,6 +159,9 @@ HEADLINE = [
     # in pure codegen, integer milli-weights)
     "span_dedup",
     "quality_classifier",
+    # r8 (late): sliding-window chunking for embedding/RAG prep
+    # (map-only one-to-many, zero exchanges)
+    "doc_chunks",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

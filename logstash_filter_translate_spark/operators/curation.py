@@ -498,3 +498,55 @@ def hashed_linear_score(
     return agg.select(
         F.col(id_col), "n_tokens", "score_milli", keep.alias("keep")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 256,
+    stride: Optional[int] = None,
+    min_tokens: int = 1,
+    joiner: str = " ",
+) -> DataFrame:
+    """Sliding-window document chunking — the embedding/RAG prep stage:
+    split every document into ``chunk_tokens``-token windows whose starts
+    are ``stride`` tokens apart (``stride < chunk_tokens`` overlaps
+    adjacent chunks so no span is ever cut mid-context; the default
+    ``stride = chunk_tokens`` tiles). Returns one row per chunk:
+    ``(id_col, chunk_id, n_tokens, chunk_text)`` with ``chunk_id`` the
+    0-based window ordinal — deterministic, so a rerun or a downstream
+    embedding join keys on ``(id, chunk_id)`` stably. The tail window may
+    be shorter than ``chunk_tokens``; windows with fewer than
+    ``min_tokens`` tokens are dropped (a 1-token tail embeds nothing
+    useful), as are zero-token documents.
+
+    Plan at 100 TB: this is the cheapest shape in the module — a MAP-ONLY
+    one-to-many expansion with ZERO exchanges: tokenize → posexplode the
+    window starts (a ``sequence(1, n, stride)``) → codegen ``slice`` +
+    ``concat_ws`` per window. No aggregation, no join; output row count
+    is input tokens × (chunk_tokens / stride) in the worst case, so the
+    only scale lever is downstream partition sizing, not this operator.
+    The ANSI ``sequence`` is when()-guarded (zero-token docs would
+    otherwise descend).
+    """
+    k = int(chunk_tokens)
+    s = int(stride) if stride is not None else k
+    if k < 1 or s < 1:
+        raise ValueError("chunk_tokens and stride must be >= 1")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(s)))
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"),
+        F.posexplode_outer(starts).alias("__cid", "__start"),
+    ).filter(F.col("__start").isNotNull())
+    chunk = F.slice(F.col("__toks"), F.col("__start"), F.lit(k))
+    out = base.select(
+        F.col(id_col),
+        F.col("__cid").alias("chunk_id"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(joiner, chunk).alias("chunk_text"),
+    )
+    return out.filter(F.col("n_tokens") >= int(min_tokens))

@@ -2116,6 +2116,44 @@ FROM w GROUP BY doc_id
 """
 
 
+CHUNK_TOKENS = 64  # embedding-window width
+CHUNK_STRIDE = 48  # window starts 48 tokens apart (16-token overlap)
+CHUNK_MIN_TOKENS = 8  # drop tail fragments below this
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for embedding/RAG prep: 64-token windows
+    whose starts are 48 apart (16-token overlap), deterministic 0-based
+    chunk_id per doc, tail fragments under 8 tokens dropped. Map-only
+    one-to-many expansion — ZERO exchanges."""
+    from ..operators.curation import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id",
+        chunk_tokens=CHUNK_TOKENS, stride=CHUNK_STRIDE,
+        min_tokens=CHUNK_MIN_TOKENS,
+    )
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         CAST((i - 1) // {CHUNK_STRIDE} AS INT) AS chunk_id,
+         t[i : i + {CHUNK_TOKENS - 1}] AS c
+  FROM toks,
+       unnest(range(1, CAST(len(t) AS BIGINT) + 1, {CHUNK_STRIDE})) AS u(i)
+)
+SELECT doc_id, chunk_id, CAST(len(c) AS INT) AS n_tokens,
+       array_to_string(c, ' ') AS chunk_text
+FROM ch WHERE len(c) >= {CHUNK_MIN_TOKENS}
+"""
+
+
 #: per-language token budgets for the mixture draw: en/de/fr bind
 #: (budget < supply → partial rate), zh exceeds supply (kept whole via
 #: the LEAST cap), es is absent (default budget 0 → dropped) — the three
@@ -2969,6 +3007,9 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #                               inference (fastText-style learned quality
 #                               filter; integer milli-weights, one
 #                               doc-keyed exchange of two longs), r8.
+#       doc_chunks            — sliding-window chunking for embedding/RAG
+#                               prep (64-token windows, 48 stride; map-only
+#                               one-to-many, ZERO exchanges), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -3097,6 +3138,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_budget_mix_epochs": q_token_budget_mix_epochs,
     "span_dedup": q_span_dedup,
     "quality_classifier": q_quality_classifier,
+    "doc_chunks": q_doc_chunks,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -3116,6 +3158,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "token_budget_mix_epochs": SQL_TOKEN_BUDGET_MIX_EPOCHS,
     "span_dedup": SQL_SPAN_DEDUP,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
+    "doc_chunks": SQL_DOC_CHUNKS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -555,3 +555,48 @@ def test_hashed_linear_score_weight_table_hardening(spark):
     ).collect()
     assert [(r["bucket"], r["n_tokens"], r["score_milli"]) for r in got2] \
         == [(7, 2, 1000)]
+
+
+def test_chunk_documents_layout_and_overlap(spark):
+    """Hand-checkable layout: 10 tokens, 4-token windows, stride 3 →
+    starts 1/4/7/10, sizes 4/4/4/1; min_tokens=2 drops the 1-token tail;
+    adjacent chunks overlap by one token; chunk_id is the 0-based window
+    ordinal; zero-token docs vanish."""
+    from logstash_filter_translate_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            docs, "text", "doc_id", chunk_tokens=4, stride=3, min_tokens=2
+        ).collect()
+    )
+    assert got == [
+        (1, 0, 4, "t1 t2 t3 t4"),
+        (1, 1, 4, "t4 t5 t6 t7"),
+        (1, 2, 4, "t7 t8 t9 t10"),
+    ]
+
+
+def test_chunk_documents_map_only_plan(spark):
+    """The operator is a pure one-to-many expansion: its physical plan
+    contains NO Exchange (and no join/aggregate) — the cheapest shape in
+    the module, per docs/PLANS.md."""
+    from logstash_filter_translate_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=4, stride=4
+    )._jdf.queryExecution().executedPlan().toString()
+    for forbidden in ("Exchange", "Join", "Aggregate"):
+        assert forbidden not in plan, (forbidden, plan[:1200])
