@@ -135,3 +135,99 @@ def test_connected_components_matches_union_find(spark, n_nodes, edge_picks):
         for r in connected_components(nodes, edf, id_col="id").collect()
     }
     assert got == want
+
+
+def _py_span_dedup(rows, k, min_docs):
+    """Sequential reference for remove_duplicate_spans: overlapping
+    k-grams in >= min_docs docs delete every covered word."""
+    from collections import defaultdict
+
+    toks = {i: [t for t in text.split(" ") if t] for i, text in rows}
+    docfreq = defaultdict(set)
+    grams = {i: [] for i in toks}
+    for i, ts in toks.items():
+        for s in range(len(ts) - k + 1):
+            g = " ".join(ts[s:s + k])
+            docfreq[g].add(i)
+            grams[i].append((s, g))
+    dup = {g for g, ds in docfreq.items() if len(ds) >= min_docs}
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for s, g in grams[i]:
+            if g in dup:
+                covered.update(range(s, s + k))
+        clean = " ".join(t for j, t in enumerate(ts) if j not in covered)
+        if clean:
+            out[i] = clean
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), max_size=10),
+        min_size=1, max_size=8,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_span_dedup_matches_python_reference(spark, docs):
+    """Random tiny-alphabet corpora (cross-doc 3-gram collisions are
+    LIKELY, the regime the operator exists for): the distributed
+    gram-inventory formulation must agree with the sequential reference
+    on every kept doc — including overlap merging, any-offset hits,
+    full-coverage drops, and short/empty docs."""
+    from logstash_filter_translate_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    want = _py_span_dedup(rows, k=3, min_docs=2)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in remove_duplicate_spans(
+            df, "text", "doc_id", span_words=3, min_docs=2
+        ).collect()
+    }
+    assert got == want
+
+
+def _py_chunks(ts, k, s, m):
+    """Sequential reference for chunk_documents."""
+    out = []
+    for cid, start in enumerate(range(0, len(ts), s)):
+        c = ts[start:start + k]
+        if len(c) >= m:
+            out.append((cid, len(c), " ".join(c)))
+    return out
+
+
+@given(
+    words=st.integers(min_value=0, max_value=25),
+    k=st.integers(min_value=1, max_value=8),
+    s=st.integers(min_value=1, max_value=8),
+    m=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_chunk_documents_matches_python_reference(spark, words, k, s, m):
+    """Random (doc length, chunk, stride, min) combinations: the
+    posexplode layout must agree with the sequential reference on
+    chunk ids, sizes, and contents — including stride>chunk gaps,
+    single-token chunks, and empty docs."""
+    from logstash_filter_translate_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    ts = [f"w{j}" for j in range(words)]
+    df = spark.createDataFrame([(1, " ".join(ts))], "doc_id long, text string")
+    got = sorted(
+        (r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_tokens=k, stride=s, min_tokens=m
+        ).collect()
+    )
+    assert got == sorted(_py_chunks(ts, k, s, m))
