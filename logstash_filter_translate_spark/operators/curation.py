@@ -525,9 +525,10 @@ def chunk_documents(
     Plan at 100 TB: this is the cheapest shape in the module — a MAP-ONLY
     one-to-many expansion with ZERO exchanges: tokenize → posexplode the
     window starts (a ``sequence(1, n, stride)``) → codegen ``slice`` +
-    ``concat_ws`` per window. No aggregation, no join; output row count
-    is input tokens × (chunk_tokens / stride) in the worst case, so the
-    only scale lever is downstream partition sizing, not this operator.
+    ``concat_ws`` per window. No aggregation, no join; output ROWS are
+    ~``input_tokens / stride`` (one per window) and output TOKEN volume
+    is ~``input_tokens × chunk_tokens / stride``, so the only scale
+    lever is downstream partition sizing, not this operator.
     The ANSI ``sequence`` is when()-guarded (zero-token docs would
     otherwise descend).
     """

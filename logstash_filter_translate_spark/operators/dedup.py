@@ -1042,7 +1042,12 @@ def remove_duplicate_spans(
     Gram construction is the ``word_shingles`` idiom (transform over an
     index sequence — r7's measured result: the HOF interpreter beats wide
     unrolled codegen on this shape); the ``when(n >= k)`` guard keeps
-    ANSI ``sequence`` from descending.
+    ANSI ``sequence`` from descending. This is deliberately a SECOND
+    shingle form next to ``functions/text.py::word_shingles``: that one
+    unrolls k ``element_at`` calls per gram (fine at its k=3 minhash
+    call sites and pinned by their oracles), this one slices — at k=5+
+    the slice form avoids the unrolled-projection growth the r7
+    negative result documented. Keep the two ANSI guards in sync.
     """
     k = int(span_words)
     if k < 1:
