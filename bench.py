@@ -160,8 +160,10 @@ HEADLINE = [
     "span_dedup",
     "quality_classifier",
     # r8 (late): sliding-window chunking for embedding/RAG prep
-    # (map-only one-to-many, zero exchanges)
+    # (map-only one-to-many, zero exchanges) and rolling-window spike
+    # detection (WindowExec frame over aggregated (key, hour) rows)
     "doc_chunks",
+    "anomaly_hours",
 ]
 
 #: 24M rows (protocol v2c; was 32M in v2/v2b, 40M before — round-5 judge

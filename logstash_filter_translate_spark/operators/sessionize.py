@@ -129,3 +129,64 @@ def sessionize_streaming(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    bucket: str = "hour",
+    trail: int = 3,
+    threshold_pct: int = 200,
+) -> DataFrame:
+    """Rolling-window spike detection — the alerting aggregate of a log
+    pipeline: bucket events per key into ``date_trunc(bucket)`` windows,
+    then flag a bucket whose count exceeds ``threshold_pct`` percent of
+    its TRAILING ``trail``-bucket average for that key. The comparison is
+    the cross-multiplied integer test
+    ``cnt * trail_buckets * 100 > trail_cnt * threshold_pct`` — no float
+    average, engines/reruns agree exactly (house convention). Buckets
+    with no trailing history never flag (cold start is not a spike).
+
+    Frame semantics: the trailing window is over OBSERVED buckets
+    (``ROWS BETWEEN trail PRECEDING AND 1 PRECEDING``), not wall-clock
+    intervals — a key silent for a day compares against its last
+    ``trail`` active buckets. That is the behavior an alerting pipeline
+    usually wants for sparse keys; a wall-clock variant is the same plan
+    with a RANGE interval frame.
+
+    Returns ``(key, bucket, cnt, trail_cnt, trail_buckets, is_spike)``.
+
+    Plan at 100 TB: the event stream collapses FIRST — one exchange keyed
+    (key, bucket) carrying map-side partial counts — and the window
+    function runs over the AGGREGATED frame: a second exchange keyed on
+    the key alone, but carrying only (keys x active buckets) rows (for a
+    year of hourly buckets, <9k rows per key), never events. WindowExec
+    sorts within each key partition; no per-event work after the first
+    aggregate.
+    """
+    if int(trail) < 1:
+        raise ValueError("trail must be >= 1")
+    counts = df.groupBy(
+        F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(-int(trail), -1)
+    )
+    trail_cnt = F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    trail_buckets = F.count("cnt").over(w)
+    spike = (trail_buckets > 0) & (
+        F.col("cnt") * trail_buckets * F.lit(100)
+        > trail_cnt * F.lit(int(threshold_pct))
+    )
+    return counts.select(
+        F.col(key_col),
+        "bucket",
+        "cnt",
+        trail_cnt.alias("trail_cnt"),
+        trail_buckets.alias("trail_buckets"),
+        spike.alias("is_spike"),
+    )

@@ -2075,6 +2075,43 @@ SELECT doc_id, lang, source FROM capped WHERE rn <= {DOMAIN_CAP}
 """
 
 
+ANOMALY_TRAIL = 3  # trailing observed buckets in the spike comparison
+ANOMALY_THRESHOLD_PCT = 150  # spike iff cnt > 150% of trailing average
+
+
+def q_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window spike detection over hourly per-event-type counts:
+    flag buckets exceeding 150% of the trailing 3-bucket average, via
+    the cross-multiplied integer test (no float average). The WindowExec
+    frame runs over the AGGREGATED (key, hour) rows, never events. At
+    sf0.01: 654 of 3385 buckets flag."""
+    from ..operators.sessionize import rolling_anomaly
+
+    df = _load(spark, sf_dir, "events")
+    return rolling_anomaly(
+        df, "ts", "event_type",
+        trail=ANOMALY_TRAIL, threshold_pct=ANOMALY_THRESHOLD_PCT,
+    )
+
+
+SQL_ANOMALY_HOURS = f"""
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, cnt,
+       CAST(COALESCE(SUM(cnt) OVER w, 0) AS BIGINT) AS trail_cnt,
+       CAST(COUNT(cnt) OVER w AS BIGINT) AS trail_buckets,
+       (COUNT(cnt) OVER w > 0
+        AND cnt * COUNT(cnt) OVER w * 100
+            > COALESCE(SUM(cnt) OVER w, 0) * {ANOMALY_THRESHOLD_PCT})
+         AS is_spike
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN {ANOMALY_TRAIL} PRECEDING AND 1 PRECEDING)
+"""
+
+
 CLS_BUCKETS = 1 << 18  # hashed-feature dimension (fastText-default-ish)
 CLS_THRESHOLD_MILLI = 25  # keep iff mean milli-weight >= 25
 
@@ -3010,6 +3047,10 @@ SELECT route, lang, COUNT(*) AS cnt FROM t GROUP BY route, lang
 #       doc_chunks            — sliding-window chunking for embedding/RAG
 #                               prep (64-token windows, 48 stride; map-only
 #                               one-to-many, ZERO exchanges), r8.
+#       anomaly_hours         — rolling-window spike detection (trailing
+#                               observed-bucket frame over AGGREGATED
+#                               (key, hour) rows; integer cross-multiplied
+#                               threshold), r8.
 # tests/test_registry_contract.py pins len(QUERIES) == 50 so a future
 # insertion can never push a distinct operator past the driver's cap again.
 
@@ -3139,6 +3180,7 @@ EXTRA_QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_dedup": q_span_dedup,
     "quality_classifier": q_quality_classifier,
     "doc_chunks": q_doc_chunks,
+    "anomaly_hours": q_anomaly_hours,
 }
 
 EXTRA_ORACLES: Dict[str, str] = {
@@ -3159,6 +3201,7 @@ EXTRA_ORACLES: Dict[str, str] = {
     "span_dedup": SQL_SPAN_DEDUP,
     "quality_classifier": SQL_QUALITY_CLASSIFIER,
     "doc_chunks": SQL_DOC_CHUNKS,
+    "anomaly_hours": SQL_ANOMALY_HOURS,
 }
 
 #: the full verified surface (selfcheck, plan guards, digests, bench)

@@ -921,3 +921,62 @@ def test_remove_duplicate_spans_duplicate_id_no_ansi_throw(spark):
         docs, "text", "doc_id", span_words=5, min_docs=2
     ).collect()  # must not raise; both covered docs drop out
     assert out == []
+
+
+def test_rolling_anomaly_spike_and_cold_start(spark):
+    """Hand-built hourly series [10, 10, 10, 50] for one key: only the
+    50-bucket flags (50*3*100 > 30*150); the cold-start bucket (no
+    trailing history) and the second bucket (10 vs 150% of 10) never
+    flag. A second key with a day-long gap shows the OBSERVED-bucket
+    frame: the post-gap bucket compares against the pre-gap buckets."""
+    import datetime as dt
+
+    from logstash_filter_translate_spark.operators.sessionize import (
+        rolling_anomaly,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0)
+    rows = []
+    for h, n in enumerate((10, 10, 10, 50)):
+        rows += [("a", t0 + dt.timedelta(hours=h, minutes=m % 60))
+                 for m in range(n)]
+    # key b: buckets at hour 0, 1, then a 24h gap, then hour 26 with 3x
+    rows += [("b", t0 + dt.timedelta(minutes=m)) for m in range(5)]
+    rows += [("b", t0 + dt.timedelta(hours=1, minutes=m)) for m in range(5)]
+    rows += [("b", t0 + dt.timedelta(hours=26, minutes=m)) for m in range(15)]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        (r["event_type"], r["bucket"].hour + 24 * (r["bucket"].day - 1)):
+            (r["cnt"], r["trail_cnt"], r["trail_buckets"], r["is_spike"])
+        for r in rolling_anomaly(
+            df, "ts", "event_type", trail=3, threshold_pct=150
+        ).collect()
+    }
+    assert out[("a", 0)] == (10, 0, 0, False)   # cold start never flags
+    assert out[("a", 1)] == (10, 10, 1, False)  # 10 !> 1.5x10
+    assert out[("a", 3)] == (50, 30, 3, True)   # 50 > 1.5x10 avg
+    # observed-bucket frame: hour-26 bucket trails the two PRE-GAP buckets
+    assert out[("b", 26)] == (15, 10, 2, True)  # 15 > 1.5x5 avg
+
+
+def test_rolling_anomaly_window_runs_over_aggregated_rows(spark):
+    """Plan shape: the WindowExec sits ABOVE the (key, bucket) hash
+    aggregate — the frame runs over aggregated rows, never events."""
+    import datetime as dt
+
+    from logstash_filter_translate_spark.operators.sessionize import (
+        rolling_anomaly,
+    )
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2026, 1, 1, h)) for h in range(5)],
+        "event_type string, ts timestamp",
+    )
+    plan = rolling_anomaly(
+        df, "ts", "event_type"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:1200]
+    w_pos = plan.index("Window")
+    agg_pos = plan.index("HashAggregate")
+    assert agg_pos > w_pos, "aggregate must be BELOW (after) the window "\
+        "in the plan tree string"
