@@ -1,8 +1,10 @@
-"""Sessionization — the classic log-pipeline stateful operator: assign each
-event a per-user session sequence number, where a gap > ``gap_minutes``
-between consecutive events starts a new session.
+"""Event-stream analytics operators: sessionization (the classic
+log-pipeline stateful operator) and rolling-window spike detection
+(:func:`rolling_anomaly` — the alerting aggregate; see its docstring).
 
-Two planes, cross-validated by tests:
+Sessionization assigns each event a per-user session sequence number,
+where a gap > ``gap_minutes`` between consecutive events starts a new
+session. Two planes, cross-validated by tests:
   - batch: window functions (lag + running sum over (user, ts)) — pure
     Catalyst, ANSI-SQL expressible, so the DuckDB oracle verifies it
     value-for-value. The shuffle is hash(user) — the partitioning
@@ -168,6 +170,13 @@ def rolling_anomaly(
     """
     if int(trail) < 1:
         raise ValueError("trail must be >= 1")
+    reserved = {"bucket", "cnt", "trail_cnt", "trail_buckets", "is_spike"}
+    if key_col in reserved:
+        raise ValueError(
+            f"key_col {key_col!r} collides with a rolling_anomaly output "
+            f"column; rename the key column first (reserved: "
+            f"{sorted(reserved)})"
+        )
     counts = df.groupBy(
         F.col(key_col), F.date_trunc(bucket, F.col(ts_col)).alias("bucket")
     ).agg(F.count("*").alias("cnt"))

@@ -980,3 +980,21 @@ def test_rolling_anomaly_window_runs_over_aggregated_rows(spark):
     agg_pos = plan.index("HashAggregate")
     assert agg_pos > w_pos, "aggregate must be BELOW (after) the window "\
         "in the plan tree string"
+
+
+def test_rolling_anomaly_reserved_key_col_raises(spark):
+    """A key_col named like an output column would produce an ambiguous
+    frame; the guard raises a clear ValueError instead (code-review r8)."""
+    import datetime as dt
+
+    import pytest
+
+    from logstash_filter_translate_spark.operators.sessionize import (
+        rolling_anomaly,
+    )
+
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2026, 1, 1, 0))], "cnt string, ts timestamp"
+    )
+    with pytest.raises(ValueError, match="collides"):
+        rolling_anomaly(df, "ts", "cnt")
