@@ -219,10 +219,12 @@ def langid_scores(
 
     At 100 TB scale: the token explode is map-side; the join side is tiny
     and broadcast; the argmax groupBy shuffles only (doc_id, lang) partial
-    counts thanks to partial aggregation.
+    counts thanks to partial aggregation, and the final argmax is a
+    ``min_by`` partial aggregate too (r9 — the old row_number window
+    forced an exchange + SORT of the scored rows; ``min_by(lang,
+    struct(-hits, lang))`` picks the identical winner — hits DESC, lang
+    ASC on ties — with map-side combine and no sort).
     """
-    from pyspark.sql import Window
-
     spark = df.sparkSession
     marker_rows = [(lang, w) for lang, words in profiles for w in words]
     markers = spark.createDataFrame(marker_rows, "lang_cand string, w string")
@@ -232,13 +234,11 @@ def langid_scores(
         .groupBy(id_col, "lang_cand")
         .agg(F.count("*").alias("hits"))
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.desc("hits"), F.asc("lang_cand")
-    )
-    best = (
-        scores.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("lang_cand").alias("lang_id"))
+    best = scores.groupBy(id_col).agg(
+        F.min_by(
+            "lang_cand",
+            F.struct((-F.col("hits")).alias("h"), F.col("lang_cand").alias("l")),
+        ).alias("lang_id")
     )
     return df.select(id_col).join(best, id_col, "left").select(
         id_col, F.coalesce("lang_id", F.lit("und")).alias("lang_id")

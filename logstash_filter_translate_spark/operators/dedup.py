@@ -312,8 +312,9 @@ def simhash_pairs(
     sigs = simhash(df, text_col, id_col, bits).filter(
         F.col("simhash").isNotNull()
     )
-    # referenced three times (banded + both pair sides) — materialize once;
-    # localCheckpoint (not persist) so blocks release with the frame
+    # referenced by both band-join sides — materialize the signature
+    # aggregate once; localCheckpoint (not persist) so blocks release
+    # with the frame
     sigs = sigs.localCheckpoint(eager=False)
     chunks = F.array(
         *[
@@ -326,14 +327,22 @@ def simhash_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(id_col, F.explode(chunks).alias("b")).select(
-        id_col, "b.band_idx", "b.band_val"
-    )
+    # r9: the full signature rides the banded rows (one extra long per
+    # row), so the Hamming verify is computed directly on the band-join
+    # output — the old shape re-joined the deduped pair set against the
+    # signature frame twice (two more joins of the candidate set) just
+    # to fetch what both sides already had. The verify filter now runs
+    # BEFORE the pair-dedup, so the distinct exchange carries only
+    # verified pairs; (id_a, id_b, hamming) dedups identically to
+    # (id_a, id_b) because hamming is a function of the pair.
+    banded = sigs.select(
+        id_col, "simhash", F.explode(chunks).alias("b")
+    ).select(id_col, "simhash", "b.band_idx", "b.band_val")
     if max_bucket is not None:
         banded = _cap_buckets(banded, ["band_idx", "band_val"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
-    cand = (
+    return (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -343,22 +352,12 @@ def simhash_pairs(
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias(
-                "hamming"
-            ),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -403,7 +402,9 @@ def embedding_cosine_pairs(
     b = emb.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, vec_sql=vec_col).alias(
+            "__bucket"
+        ),
         norm(F.col(vec_col), dim).alias("__norm"),
     )
     if max_bucket is not None:
@@ -448,6 +449,7 @@ def ngram_jaccard_pairs(
     pairs: DataFrame,
     shingle_n: int = 3,
     prefilter: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard (distinct word n-grams) for given candidate (id_a, id_b)
     pairs; returns (id_a, id_b, n_intersect, n_union) — integers so the
@@ -476,6 +478,18 @@ def ngram_jaccard_pairs(
     keep-with-zero left join would have to change every oracle in
     lockstep. Externally-supplied pairs with tiny documents must be
     pre-filtered by the caller.
+
+    ``materialize`` (default True, r9): the exploded candidate-shingle
+    frame ``sh`` is referenced THREE times (per-doc sizes + both sides of
+    the intersect join) and ``sizes`` twice — without materialization the
+    scan→semi-join→tokenize→shingle→explode subtree re-executes once per
+    reference (4 scans + 4 shingle builds in the physical plan, measured
+    r9). Both are localCheckpoint(eager=False)'d: ``sh`` is proportional
+    to CANDIDATE documents (the semi-join runs before it), ``sizes`` to
+    candidate doc count, so the cached state stays candidate-bounded at
+    any corpus scale. ``materialize=False`` keeps the single-plan form —
+    the plan-guard test uses it to assert the semi-join shape that the
+    checkpoint otherwise hides behind a Scan ExistingRDD.
     """
     # pairs is referenced 2-3 times (candidate-id set, intersect join,
     # final left join) — materialize once instead of recomputing the LSH
@@ -499,7 +513,14 @@ def ngram_jaccard_pairs(
             ).alias("s"),
         )
     )
+    if materialize:
+        # computed once, scanned by the sizes aggregate and both sides of
+        # the intersect join; candidate-bounded (see docstring)
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    if materialize:
+        # referenced by both size-joins; one row per candidate document
+        sizes = sizes.localCheckpoint(eager=False)
 
     a = sh.withColumnRenamed(id_col, "id_a")
     b = sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("s", "s_b")
@@ -540,6 +561,7 @@ def incremental_near_dup_keep(
     keep_den: int = 5,
     max_bucket: Optional[int] = None,
     corpus_sigs: Optional[DataFrame] = None,
+    new_sigs: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Which NEW documents survive dedup against an already-kept corpus
     — the INCREMENTAL maintenance shape (the batch analog of
@@ -564,14 +586,21 @@ def incremental_near_dup_keep(
     (ngram_jaccard_pairs' semi-join prefilter), so corpus text is
     touched only for corpus docs that banded with a new doc.
 
-    ``corpus_sigs`` accepts PRECOMPUTED MinHash signatures — at scale
-    the original dedup pass persists them, and the increment then costs
-    one signature scan of the increment plus the candidate-verify, never
-    a full-corpus re-signature. Assumes the increment ≪ corpus (its
-    bands are broadcast); for increment ~ corpus, rerun the full
-    near_dup_keep instead. Ids must share one namespace and be disjoint
-    across the two frames."""
-    sigs_new = minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    ``corpus_sigs`` / ``new_sigs`` accept PRECOMPUTED MinHash signatures
+    — at scale the original dedup pass persists the corpus signatures,
+    and the increment then costs one signature scan of the increment
+    plus the candidate-verify, never a full-corpus re-signature (a
+    caller whose corpus and increment are splits of one frame can sign
+    that frame once and pass both filtered halves — signatures are
+    per-document, so filter-then-sign and sign-then-filter agree).
+    Assumes the increment ≪ corpus (its bands are broadcast); for
+    increment ~ corpus, rerun the full near_dup_keep instead. Ids must
+    share one namespace and be disjoint across the two frames."""
+    sigs_new = (
+        new_sigs
+        if new_sigs is not None
+        else minhash_signatures(new_docs, text_col, id_col, num_hashes)
+    )
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(
             corpus, text_col, id_col, num_hashes
@@ -723,13 +752,45 @@ def connected_components(
         .localCheckpoint()  # computed once, scanned every iteration
     )
     members = sym.select(F.col("__src").alias("__node")).distinct()
-    labels = members.select("__node", F.col("__node").alias("__comp"))
-    labels = labels.localCheckpoint()
+    # r9: iteration 1 folded into the label INIT. At round 1 every
+    # neighbor's label is its own id, so min-label propagation over the
+    # initial state is exactly groupBy(__src) → least(__src, min(__dst))
+    # — one aggregation over the checkpointed edges instead of the old
+    # init-distinct checkpoint + count job + a full join-union-agg
+    # round (3 jobs → 1, measured r9; the pointer jump is skipped here
+    # because jumping through the identity label map is a no-op). The
+    # changed-count AND the member count for the broadcast size gate
+    # both ride this checkpoint's materialization as observed metrics —
+    # the separate labels.count() job is gone.
+    obs = Observation()
+    labels = (
+        sym.groupBy("__src")
+        .agg(F.min("__dst").alias("__mind"))
+        .select(
+            F.col("__src").alias("__node"),
+            F.least(F.col("__src"), F.col("__mind")).alias("__comp"),
+            F.col("__src").alias("__old"),
+        )
+        .observe(
+            obs,
+            F.sum(
+                (F.col("__comp") < F.col("__old")).cast("long")
+            ).alias("changed"),
+            F.count(F.lit(1)).alias("members"),
+        )
+        .select("__node", "__comp")
+        .localCheckpoint()
+    )
+    changed = obs.get["changed"] or 0  # sum over 0 rows is NULL
     if broadcast_members is None:
-        # size-gate the singleton-re-entry broadcast on a MEASURED count
-        # (labels is checkpointed: this scans cached longs, no recompute)
-        broadcast_members = labels.count() <= broadcast_member_limit
-    for iteration in range(1, max_iterations + 1):
+        # size-gate the singleton-re-entry broadcast on the MEASURED
+        # member count (observed on the init job above — free)
+        broadcast_members = (obs.get["members"] or 0) <= broadcast_member_limit
+    if changed == 0:
+        LAST_CC_ITERATIONS = 1
+    for iteration in range(2, max_iterations + 1):
+        if LAST_CC_ITERATIONS:
+            break
         neigh = sym.join(
             labels.withColumnRenamed("__node", "__dst"), "__dst"
         ).select(
@@ -799,7 +860,7 @@ def connected_components(
         if changed == 0:
             LAST_CC_ITERATIONS = iteration
             break
-    else:
+    if not LAST_CC_ITERATIONS:
         raise RuntimeError(
             f"connected_components: no fixpoint in {max_iterations} "
             "iterations (component diameter exceeds the bound)"

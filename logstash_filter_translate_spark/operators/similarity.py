@@ -237,7 +237,11 @@ def brute_force_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
+def hyperplane_bucket(
+    vec: Column,
+    planes: List[List[float]],
+    vec_sql: Optional[str] = None,
+) -> Column:
     """LSH bucket id: sign pattern of dot products against fixed random
     hyperplanes, packed into an int. Deterministic (planes are literals).
 
@@ -247,7 +251,31 @@ def hyperplane_bucket(vec: Column, planes: List[List[float]]) -> Column:
     flat terms and blows HotSpot's JIT method limit len(planes) times
     over — measured 2.7-6.6x SLOWER on every bucketed query
     (similarity_lsh, lsh_topk_multiband, embedding_cosine_pairs;
-    subprocess-paired A/B, docs/ROUND7.md)."""
+    subprocess-paired A/B, docs/ROUND7.md).
+
+    ``vec_sql`` (r9): the input column's NAME, enabling the whole bucket
+    to be built as ONE ``F.expr`` parse instead of |planes| x dim
+    ``F.lit`` py4j round-trips — the Column-by-Column construction cost
+    ~0.9 s of pure driver-side Python per multiband plan build (measured
+    r9, 1-job build phase). The generated SQL states the identical
+    expression tree (same zip_with/aggregate fold, same cast order, same
+    left-to-right summation), so values are bit-identical and the
+    selfcheck oracle is unchanged; ``repr(float)`` round-trips every
+    double exactly. Callers that hold only a Column keep the old path.
+    """
+    if vec_sql is not None:
+        terms = []
+        for i, p in enumerate(planes):
+            arr = ", ".join(repr(float(x)) + "D" for x in p)
+            dot_sql = (
+                f"aggregate(zip_with(`{vec_sql}`, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(CASE WHEN {dot_sql} >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return F.expr("0 + " + " + ".join(terms))
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
@@ -639,7 +667,9 @@ def lsh_topk_multiband(
             *[
                 F.struct(
                     F.lit(i).alias("__band"),
-                    hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+                    hyperplane_bucket(
+                        F.col(vec_col), planes, vec_sql=vec_col
+                    ).alias("__bucket"),
                 )
                 for i, planes in enumerate(bands)
             ]
@@ -692,11 +722,15 @@ def lsh_topk(
     At scale the corpus is written bucketed/partitioned by this bucket id,
     so a query touches one partition instead of the full corpus.
     """
-    cb = corpus.withColumn("__bucket", hyperplane_bucket(F.col(vec_col), planes))
+    cb = corpus.withColumn(
+        "__bucket", hyperplane_bucket(F.col(vec_col), planes, vec_sql=vec_col)
+    )
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
-        hyperplane_bucket(F.col(vec_col), planes).alias("__bucket"),
+        hyperplane_bucket(
+            F.col(vec_col), planes, vec_sql=vec_col
+        ).alias("__bucket"),
     )
     scored = cb.join(F.broadcast(qb), "__bucket").filter(
         F.col(id_col) != F.col(query_id_col)

@@ -979,10 +979,16 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side and never shuffles; the Jaccard verify then touches
     candidate documents only (semi-join prefilter)."""
     docs = _load(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") >= FUZZY_EVAL_BOUND)
-    evals = docs.filter(F.col("doc_id") < FUZZY_EVAL_BOUND)
-    sigs_t = minhash_signatures(train, "text", "doc_id", MINHASH_NUM)
-    sigs_e = minhash_signatures(evals, "text", "doc_id", MINHASH_NUM)
+    # r9: ONE signature pipeline over the whole corpus, split by the
+    # eval bound afterwards — signatures are per-document, so filtering
+    # the signed frame is value-identical to signing the filtered frame,
+    # and the second full scan→shingle→md5→agg subtree disappears. The
+    # localCheckpoint materializes the shared frame once for both sides.
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", MINHASH_NUM
+    ).localCheckpoint(eager=False)
+    sigs_t = sigs.filter(F.col("doc_id") >= FUZZY_EVAL_BOUND)
+    sigs_e = sigs.filter(F.col("doc_id") < FUZZY_EVAL_BOUND)
     cand = lsh_candidate_pairs_cross(
         sigs_t, sigs_e, "doc_id", MINHASH_NUM, band_size=2
     )
@@ -1093,9 +1099,19 @@ def q_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
     new_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    # r9: both sides are modulus-splits of ONE frame, so sign that frame
+    # once and filter the signed output (per-document signatures:
+    # sign-then-filter ≡ filter-then-sign) — the operator's persisted-
+    # signature hooks take the halves and the second full
+    # scan→shingle→md5→agg pipeline disappears from the plan.
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", MINHASH_NUM
+    ).localCheckpoint(eager=False)
     return incremental_near_dup_keep(
         corpus, new_docs, "text", "doc_id", MINHASH_NUM, band_size=2,
         keep_num=JACCARD_KEEP_NUM, keep_den=JACCARD_KEEP_DEN,
+        corpus_sigs=sigs.filter(F.col("doc_id") % INCR_NEW_MOD != 0),
+        new_sigs=sigs.filter(F.col("doc_id") % INCR_NEW_MOD == 0),
     )
 
 

@@ -132,9 +132,25 @@ def test_jaccard_verify_prefilters_shingle_explode(spark, testdata_dir):
     # so the verify shuffle is proportional to candidates, not the corpus.
     # (jaccard_adjacent opts out: its candidate set IS the corpus, making
     # the reduction pure overhead — the operator default stays on.)
-    from logstash_filter_translate_spark.plans.queries import q_near_dup_keep
+    # Since r9 the candidate-shingle frame is localCheckpoint'ed (it is
+    # referenced three times; the checkpoint hides the semi-join behind a
+    # Scan ExistingRDD in the final plan), so the guard asserts on the
+    # UNMATERIALIZED operator build (materialize=False) — the same
+    # logical shape whose checkpointed form the digests pin.
+    from logstash_filter_translate_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
 
-    p = plan_of(q_near_dup_keep(spark, testdata_dir))
+    docs = spark.read.parquet(f"{testdata_dir}/documents.parquet")
+    pairs = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1).alias("id_b"),
+    ).limit(10)
+    p = plan_of(
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", pairs, materialize=False
+        )
+    )
     assert "LeftSemi" in p
 
 
