@@ -62,6 +62,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 8,
     shingle_n: int = 3,
+    include_sigless: bool = True,
 ) -> DataFrame:
     """(id, m0..m{k-1}) — NULL signature for docs with < n tokens.
 
@@ -69,7 +70,14 @@ def minhash_signatures(
     groupBy(id) with k cheap min() aggregates (map-side partial). This beats
     the pure-expression ``array_min(transform(...))`` form by ~10×: Catalyst
     higher-order-function lambdas are interpreted, and the k signature
-    expressions would each re-hash every shingle."""
+    expressions would each re-hash every shingle.
+
+    ``include_sigless=False`` (r9) skips the docs-left-join that re-enters
+    shingle-less documents with a NULL signature — the LSH banding planes
+    filter those rows straight back out (``m0 IS NOT NULL``), so pipelines
+    that only band the signatures pay the join for nothing. The contract
+    ``minhash_signatures`` query keeps the default (its oracle states the
+    NULL rows)."""
     from ..functions.text import MINHASH_COEF, MINHASH_P, hash32
 
     sh = df.select(
@@ -84,6 +92,8 @@ def minhash_signatures(
             F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"m{i}")
         )
     sig = hashed.groupBy(id_col).agg(*aggs)
+    if not include_sigless:
+        return sig
     # docs with < n tokens exploded to no rows → NULL signature via left join
     return df.select(id_col).join(sig, id_col, "left")
 
@@ -110,24 +120,35 @@ def _cap_buckets(
     return banded.join(F.broadcast(over), keys, "left_anti")
 
 
+def _band_key_cols(band_size: int) -> List[str]:
+    """Join/bucket key columns emitted by :func:`_band_signatures`."""
+    return ["band_idx"] + [f"band_k{j}" for j in range(band_size)]
+
+
 def _band_signatures(
     sigs: DataFrame, id_col: str, num_hashes: int, band_size: int
 ) -> DataFrame:
-    """(id, band_idx, band_key) rows — the shared banding step of the
-    self-join (lsh_candidate_pairs) and cross-corpus
-    (lsh_candidate_pairs_cross) planes."""
+    """(id, band_idx, band_k0..band_k{band_size-1}) rows — the shared
+    banding step of the self-join (lsh_candidate_pairs) and cross-corpus
+    (lsh_candidate_pairs_cross) planes.
+
+    r9: the band key is the RAW minhash longs, not their ``concat_ws``
+    string — two rows agree on the string key iff they agree on every
+    component (the '_' separator delimits unambiguously), so the
+    multi-column equi-join pairs the identical candidate set while the
+    per-row string build disappears and the exchange carries fixed-width
+    longs instead of decimal strings. The band key never leaves the
+    operator (outputs are id pairs), so the SQL oracles' string-keyed
+    CTEs state the same pairs."""
     n_bands = num_hashes // band_size
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"m{b * band_size + j}").cast("string")
-                        for j in range(band_size)
-                    ],
-                ).alias("band_key"),
+                *[
+                    F.col(f"m{b * band_size + j}").alias(f"band_k{j}")
+                    for j in range(band_size)
+                ],
             )
             for b in range(n_bands)
         ]
@@ -136,7 +157,9 @@ def _band_signatures(
     return (
         sigs.filter(has_sig)
         .select(id_col, F.explode(bands).alias("b"))
-        .select(id_col, "b.band_idx", "b.band_key")
+        .select(
+            id_col, *[f"b.{k}" for k in _band_key_cols(band_size)]
+        )
     )
 
 
@@ -168,19 +191,18 @@ def lsh_candidate_pairs(
     # ContextCleaner when the frame is GC'd, so a long-running driver
     # doesn't leak cached partitions (round-1 judge finding #5)
     banded = banded.localCheckpoint(eager=False)
+    keys = _band_key_cols(band_size)
     if max_bucket is not None:
         banded = _cap_buckets(
-            banded, ["band_idx", "band_key"], max_bucket
+            banded, keys, max_bucket
         ).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
+    cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     return (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
+        left.join(right, cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -215,6 +237,7 @@ def lsh_candidate_pairs_cross(
     self-pair's Jaccard of 1.0 would flag it spuriously).
     """
     cb = _band_signatures(sigs_corpus, id_col, num_hashes, band_size)
+    keys = _band_key_cols(band_size)
     if max_bucket is not None:
         # checkpoint BEFORE the cap: _cap_buckets reads the frame twice
         # (width count + anti-join probe) and would otherwise re-execute
@@ -222,18 +245,16 @@ def lsh_candidate_pairs_cross(
         # the corpus bands are read exactly once — no checkpoint needed.
         cb = _cap_buckets(
             cb.localCheckpoint(eager=False),
-            ["band_idx", "band_key"],
+            keys,
             max_bucket,
         )
     pb = _band_signatures(sigs_probe, id_col, num_hashes, band_size)
+    cond = F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     return (
         cb.alias("l")
-        .join(
-            F.broadcast(pb.alias("r")),
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}")),
-        )
+        .join(F.broadcast(pb.alias("r")), cond)
         .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
@@ -599,11 +620,13 @@ def incremental_near_dup_keep(
     sigs_new = (
         new_sigs
         if new_sigs is not None
-        else minhash_signatures(new_docs, text_col, id_col, num_hashes)
+        else minhash_signatures(
+            new_docs, text_col, id_col, num_hashes, include_sigless=False
+        )
     )
     if corpus_sigs is None:
         corpus_sigs = minhash_signatures(
-            corpus, text_col, id_col, num_hashes
+            corpus, text_col, id_col, num_hashes, include_sigless=False
         )
     cross = lsh_candidate_pairs_cross(
         corpus_sigs, sigs_new, id_col, num_hashes, band_size, max_bucket

@@ -670,7 +670,8 @@ GROUP BY d.doc_id
 
 def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM
+        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM,
+        include_sigless=False,
     )
     return lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
 
@@ -732,7 +733,8 @@ def q_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-free: groupBy(band).count() + broadcast anti-join
     (operators/dedup.py::_cap_buckets)."""
     sigs = minhash_signatures(
-        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM
+        _load(spark, sf_dir, "documents"), "text", "doc_id", MINHASH_NUM,
+        include_sigless=False,
     )
     return lsh_candidate_pairs(
         sigs, "doc_id", MINHASH_NUM, band_size=2, max_bucket=LSH_CAP
@@ -811,7 +813,9 @@ def _dedup_dup_pairs(docs: DataFrame) -> DataFrame:
     integer-Jaccard ≥ 4/5): one definition so the components planes
     (and their single shared oracle) can never fork semantically
     (code-review r8)."""
-    sigs = minhash_signatures(docs, "text", "doc_id", MINHASH_NUM)
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", MINHASH_NUM, include_sigless=False
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", MINHASH_NUM, band_size=2)
     jac = ngram_jaccard_pairs(docs, "text", "doc_id", pairs)
     return jac.filter(
@@ -985,7 +989,7 @@ def q_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the second full scan→shingle→md5→agg subtree disappears. The
     # localCheckpoint materializes the shared frame once for both sides.
     sigs = minhash_signatures(
-        docs, "text", "doc_id", MINHASH_NUM
+        docs, "text", "doc_id", MINHASH_NUM, include_sigless=False
     ).localCheckpoint(eager=False)
     sigs_t = sigs.filter(F.col("doc_id") >= FUZZY_EVAL_BOUND)
     sigs_e = sigs.filter(F.col("doc_id") < FUZZY_EVAL_BOUND)
@@ -1105,7 +1109,7 @@ def q_incremental_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature hooks take the halves and the second full
     # scan→shingle→md5→agg pipeline disappears from the plan.
     sigs = minhash_signatures(
-        docs, "text", "doc_id", MINHASH_NUM
+        docs, "text", "doc_id", MINHASH_NUM, include_sigless=False
     ).localCheckpoint(eager=False)
     return incremental_near_dup_keep(
         corpus, new_docs, "text", "doc_id", MINHASH_NUM, band_size=2,

@@ -511,9 +511,11 @@ def test_lsh_cross_candidates_broadcast_probe_and_match_self_join(spark, docs):
     # joins inside the signature subtree are free to pick their own
     # strategy from stats
     plan = cross._jdf.queryExecution().executedPlan().toString()
+    # r9: the band key is the raw minhash longs (band_k0/band_k1), not the
+    # concat_ws string — same candidate pairing, narrower exchange
     band_join_lines = [
         ln for ln in plan.splitlines()
-        if "Join" in ln and "band_idx" in ln and "band_key" in ln
+        if "Join" in ln and "band_idx" in ln and "band_k0" in ln
     ]
     assert band_join_lines, plan
     assert all("BroadcastHashJoin" in ln for ln in band_join_lines), plan
