@@ -1641,12 +1641,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _load(spark, sf_dir, "documents")
     lang = langid_scores(docs, "text", "doc_id", LANGID_PROFILES)
     keep_ids = exact_dedup(docs, "text", "doc_id").select("doc_id")
-    scored = docs.select(
-        "doc_id", quality_score(F.col("text")).alias("q")
+    # r9: the quality score is computed IN the base projection — the old
+    # shape joined docs against a second scan of itself on doc_id (an
+    # identity self-join: doc_id is the table key), paying a scan + a
+    # join for a map-side expression.
+    base = docs.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("q")
     )
     return (
-        docs.select("doc_id", "lang")
-        .join(scored, "doc_id")
+        base
         .join(lang, "doc_id")
         .join(keep_ids, "doc_id")  # canonical copies only
         .filter((F.col("q") >= 2) & (F.col("lang_id") != "und"))
