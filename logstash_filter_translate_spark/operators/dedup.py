@@ -772,7 +772,11 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint()  # computed once, scanned every iteration
+        # computed once, scanned every iteration. eager=False (r9): the
+        # init aggregation below materializes it inside ITS job — a
+        # separate eager job boundary bought nothing (the cached RDD is
+        # the same object either way, so the loop still scans the cache)
+        .localCheckpoint(eager=False)
     )
     members = sym.select(F.col("__src").alias("__node")).distinct()
     # r9: iteration 1 folded into the label INIT. At round 1 every
