@@ -53,11 +53,28 @@ MINHASH_COEF: List[Tuple[int, int]] = [
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens; empty string → empty array (matches DuckDB
-    ``string_split(text,' ')`` filtered of empties)."""
-    return F.filter(F.split(text, " "), lambda t: t != "")
+    ``string_split(text,' ')`` filtered of empties).
+
+    ``array_remove(split, '')`` — NOT ``filter(split, t -> t != '')``
+    (r9): the two are element-for-element identical here (split emits no
+    NULLs, and both drop exactly the '' elements, preserving order), but
+    ``filter``'s lambda is an interpreted Catalyst HOF evaluated per row
+    while ArrayRemove code-generates — and this array feeds every
+    tokenize → shingle/explode pipeline in the engine.
+    """
+    return F.array_remove(F.split(text, " "), "")
 
 
 def token_count(text: Column) -> Column:
+    """Whitespace-token count — fully codegen via :func:`tokens`.
+
+    NOT ``regexp_count(text, '[^ ]+')`` (r9 negative result): that
+    rewrites to ``size(regexp_extract_all(...))``, which MATERIALIZES
+    every token match as a string array per evaluation — measured 1.3×
+    the split+array_remove form in the filter-pushdown context where a
+    consumer filters on the count (each reference in a FilterExec
+    condition re-evaluates the whole extract-all).
+    """
     return F.size(tokens(text))
 
 
@@ -110,32 +127,48 @@ DEFAULT_STOPWORDS = tuple(
 
 def quality_metrics(text: Column) -> List[Column]:
     """Length / punctuation / token statistics used for quality filtering.
-    All expressible in ANSI SQL (length + regexp_replace deltas)."""
+    All expressible in ANSI SQL (length + regexp_replace deltas).
+
+    r9: token count and summed token length are pure codegen — the count
+    is one regex pass (``token_count``) and the length sum uses the
+    identity Σ|token| = |text| − #spaces (tokens are the non-space runs,
+    so ``length(translate(text, ' ', ''))`` IS the sum the old
+    interpreted ``aggregate`` lambda folded token by token). Same
+    integers, no HOF evaluation, no token array built.
+    """
     n_chars = F.length(text).alias("n_chars_q")
-    toks = tokens(text)
-    n_tokens = F.size(toks).alias("n_tokens")
+    n_tok = token_count(text)
+    n_tokens = n_tok.alias("n_tokens")
     punct = (
         F.length(text) - F.length(F.regexp_replace(text, r"[.,;:!?]", ""))
     ).alias("n_punct")
     digits = (
         F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
     ).alias("n_digits")
+    tok_len_sum = F.length(F.translate(text, " ", "")).cast("long")
     mean_tok_len = F.when(
-        F.size(toks) > 0,
-        (
-            F.aggregate(
-                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-            )
-            / F.size(toks)
-        ),
+        n_tok > 0, tok_len_sum / n_tok
     ).alias("mean_token_len")
     return [n_chars, n_tokens, punct, digits, mean_tok_len]
 
 
 def quality_score(text: Column) -> Column:
     """0..3 heuristic score: long enough, not digit-heavy, sane token length.
-    Deterministic integer so oracles compare exactly."""
-    toks = tokens(text)
+    Deterministic integer so oracles compare exactly.
+
+    DELIBERATELY interpreted-HOF (r9 negative result, measured): this
+    score's heavy consumer (corpus_filter) FILTERS on it, and predicate
+    pushdown re-states the whole expression in the scan-side FilterExec
+    — where codegen evaluates each of the token-array references anew
+    (FilterExec gets no subexpression elimination), while Spark's
+    interpreted predicate path caches common subtrees per row
+    (SubExprEvaluationRuntime), so the lambda form builds the token
+    array ONCE. Rotated 10×-scale A/B of the full query: HOF 1.7 s vs
+    codegen array_remove 2.3 s vs regexp_count 3.4 s (regexp_count
+    rewrites to size(regexp_extract_all(...)) — it MATERIALIZES every
+    token, three times, in the filter). The codegen forms win only in
+    pure-projection contexts, where quality_metrics uses them."""
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
     n_tok = F.size(toks)
     digits = F.length(text) - F.length(F.regexp_replace(text, r"[0-9]", ""))
     long_enough = (n_tok >= 10).cast("int")
@@ -206,40 +239,90 @@ def fingerprint(text: Column) -> Column:
 # language ID (n-gram/stopword profile heuristic)
 # ---------------------------------------------------------------------------
 
+#: profile count above which langid_scores falls back from the pivoted
+#: single-aggregate plane (one conditional sum column per language) to
+#: the broadcast-join plane — a wide unrolled projection over many
+#: languages is the r7 JIT-method-limit negative result's territory,
+#: while marker-profile lists are small by construction.
+LANGID_PIVOT_MAX_LANGS = 16
+
+
 def langid_scores(
     df: DataFrame,
     text_col: str,
     id_col: str,
     profiles: Sequence[Tuple[str, Sequence[str]]],
+    include_unknown: bool = True,
 ) -> DataFrame:
     """Heuristic language ID: argmax over per-language marker-word hit
-    counts. Explode tokens → broadcast join against the marker table →
-    count → window argmax. Returns (id_col, lang_id) with 'und' when no
-    marker hits.
+    counts. Returns (id_col, lang_id) with 'und' when no marker hits
+    (``include_unknown=False`` drops the 'und' rows AND the corpus
+    re-entry join that produces them — the shape for composite consumers
+    like corpus_filter whose downstream filter discards 'und' anyway).
 
-    At 100 TB scale: the token explode is map-side; the join side is tiny
-    and broadcast; the argmax groupBy shuffles only (doc_id, lang) partial
-    counts thanks to partial aggregation, and the final argmax is a
-    ``min_by`` partial aggregate too (r9 — the old row_number window
-    forced an exchange + SORT of the scored rows; ``min_by(lang,
-    struct(-hits, lang))`` picks the identical winner — hits DESC, lang
-    ASC on ties — with map-side combine and no sort).
+    Plane (r9, ≤ ``LANGID_PIVOT_MAX_LANGS`` languages): explode tokens →
+    codegen ``isin`` prefilter on the union marker set → ONE partial
+    aggregate keyed on the doc id with a conditional hit sum per
+    language → pure-expression argmax (``array_min`` over
+    struct(-hits, lang) — identical winner rule to the old two-aggregate
+    min_by plane: hits DESC, lang ASC; a zero-hit language's struct
+    (0, lang) can never beat a positive one's (-n, lang), and every
+    aggregated doc has ≥1 hit by the prefilter). vs the old shape this
+    removes the broadcast-join build/probe on every token AND one full
+    exchange+aggregate — at 100 TB the exchange carries |langs| longs
+    per marker-bearing doc either way, but only once. A word listed
+    under several languages still scores each of them (the conditional
+    sums are independent — the join plane's fan-out semantics, which a
+    first-match CASE lookup would break). Beyond the pivot bound the
+    broadcast-join + min_by plane remains (wide unrolled projections
+    are the r7 JIT negative result).
     """
-    spark = df.sparkSession
-    marker_rows = [(lang, w) for lang, words in profiles for w in words]
-    markers = spark.createDataFrame(marker_rows, "lang_cand string, w string")
     tok = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
-    scores = (
-        tok.join(F.broadcast(markers), "w")
-        .groupBy(id_col, "lang_cand")
-        .agg(F.count("*").alias("hits"))
-    )
-    best = scores.groupBy(id_col).agg(
-        F.min_by(
-            "lang_cand",
-            F.struct((-F.col("hits")).alias("h"), F.col("lang_cand").alias("l")),
-        ).alias("lang_id")
-    )
+    if len(profiles) <= LANGID_PIVOT_MAX_LANGS:
+        all_words = sorted({w for _, words in profiles for w in words})
+        hits = tok.filter(F.col("w").isin(all_words))
+        sums = [
+            F.sum(F.col("w").isin(list(words)).cast("long")).alias(f"__h{i}")
+            for i, (_, words) in enumerate(profiles)
+        ]
+        ranked = F.array(
+            *[
+                F.struct(
+                    (-F.col(f"__h{i}")).alias("h"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, (lang, _) in enumerate(profiles)
+            ]
+        )
+        best = (
+            hits.groupBy(id_col)
+            .agg(*sums)
+            .select(
+                id_col, F.array_min(ranked).getField("l").alias("lang_id")
+            )
+        )
+    else:
+        spark = df.sparkSession
+        marker_rows = [(lang, w) for lang, words in profiles for w in words]
+        markers = spark.createDataFrame(
+            marker_rows, "lang_cand string, w string"
+        )
+        scores = (
+            tok.join(F.broadcast(markers), "w")
+            .groupBy(id_col, "lang_cand")
+            .agg(F.count("*").alias("hits"))
+        )
+        best = scores.groupBy(id_col).agg(
+            F.min_by(
+                "lang_cand",
+                F.struct(
+                    (-F.col("hits")).alias("h"),
+                    F.col("lang_cand").alias("l"),
+                ),
+            ).alias("lang_id")
+        )
+    if not include_unknown:
+        return best
     return df.select(id_col).join(best, id_col, "left").select(
         id_col, F.coalesce("lang_id", F.lit("und")).alias("lang_id")
     )

@@ -93,6 +93,7 @@ def repetition_ratio(
     text_col: str,
     id_col: str,
     shingle_n: int = 3,
+    include_shingleless: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition signal: per document, the count of the most
     frequent word n-gram and the total n-gram count (integers, so the
@@ -102,6 +103,11 @@ def repetition_ratio(
     Plan: explode (non-distinct) shingles → two-level hash aggregate
     ((doc, shingle) counts reduced map-side, then per-doc max/sum). The
     shuffle carries (doc_id, shingle-count) pairs, never documents.
+
+    ``include_shingleless=False`` (r9) skips the corpus re-entry left
+    join that reports docs with < n tokens as (0, 0) — consumers that
+    immediately FILTER on ``total_ngrams > 0`` (curation_pipeline) drop
+    those rows again, so the extra scan + join bought nothing.
     """
     sh = df.select(
         F.col(id_col),
@@ -112,6 +118,8 @@ def repetition_ratio(
         F.max("c").alias("max_ngram_cnt"),
         F.sum("c").alias("total_ngrams"),
     )
+    if not include_shingleless:
+        return stats.select(id_col, "max_ngram_cnt", "total_ngrams")
     # docs with < n tokens have no shingles → (0, 0) via left join
     return (
         df.select(id_col)
@@ -386,7 +394,12 @@ def curation_pipeline(
     per-domain cap, returning the kept (id, stratum, domain) set. Each
     stage is the audited scale-safe plane above; integer percent
     threshold keeps the repetition filter float-free across engines."""
-    rep = repetition_ratio(df, text_col, id_col, shingle_n)
+    # r9: include_shingleless=False — the (0, 0) re-entry rows the
+    # default plane adds (a corpus scan + left join) are filtered right
+    # back out by `total_ngrams > 0` below
+    rep = repetition_ratio(
+        df, text_col, id_col, shingle_n, include_shingleless=False
+    )
     keep_rep = rep.filter(
         (F.col("total_ngrams") > 0)
         & (F.col("max_ngram_cnt") * 100

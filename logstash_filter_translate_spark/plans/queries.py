@@ -1639,7 +1639,15 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_dedup
 
     docs = _load(spark, sf_dir, "documents")
-    lang = langid_scores(docs, "text", "doc_id", LANGID_PROFILES)
+    # r9: include_unknown=False — this query INNER-joins the langid
+    # output and then discards lang_id='und', so langid's corpus
+    # re-entry join (a second documents scan + left join whose only job
+    # is producing the 'und' rows) was dead weight: the inner join
+    # against the marker-hit aggregate alone keeps exactly the rows
+    # that survive the old `lang_id != 'und'` filter.
+    lang = langid_scores(
+        docs, "text", "doc_id", LANGID_PROFILES, include_unknown=False
+    )
     keep_ids = exact_dedup(docs, "text", "doc_id").select("doc_id")
     # r9: the quality score is computed IN the base projection — the old
     # shape joined docs against a second scan of itself on doc_id (an
@@ -1652,7 +1660,7 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         base
         .join(lang, "doc_id")
         .join(keep_ids, "doc_id")  # canonical copies only
-        .filter((F.col("q") >= 2) & (F.col("lang_id") != "und"))
+        .filter(F.col("q") >= 2)
         .select("doc_id", "lang", "lang_id", F.col("q").alias("quality_score"))
     )
 
